@@ -1,0 +1,136 @@
+"""Optimizer, LR schedules, warmup and EMA — optax-native.
+
+Behavioral reference:
+  * 3 param groups (``/root/reference/train.py:213-233``): BN scales & biases
+    without weight decay, conv/dense kernels with decay — SGD + nesterov
+    momentum.
+  * linear / one-cycle cosine epoch schedules (``train.py:242-246``,
+    ``engines/general.py:391-393``).
+  * per-iteration warmup of lr (bias group ramps down from warmup_bias_lr,
+    others up from 0) and momentum (``train.py:436-444``).
+  * ``ModelEMA`` decay ramp ``decay·(1−exp(−updates/tau))``
+    (``metayolo/common.py:128-159``).
+
+TPU-first: everything is a pure optax transform / pytree fn — AMP GradScaler
+has no equivalent because bf16 training needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Array = jnp.ndarray
+
+DEFAULT_HYP = {
+    "lr0": 0.01, "lrf": 0.1, "momentum": 0.937, "weight_decay": 0.0005,
+    "warmup_epochs": 3.0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1,
+}
+
+
+def one_cycle(y1: float = 1.0, y2: float = 1.0, steps: int = 100) -> Callable[[float], float]:
+    """Cosine ramp from y1 to y2 over steps (engines/general.py:391-393)."""
+    return lambda x: ((1 - math.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
+
+
+def linear_lf(lrf: float, epochs: int) -> Callable[[float], float]:
+    """Linear decay factor (train.py:242-243)."""
+    return lambda x: (1 - x / max(epochs - 1, 1)) * (1.0 - lrf) + lrf
+
+
+def _group_label(path, leaf) -> str:
+    """Classify a param leaf: 'bias' (incl. BN bias), 'bn_scale', 'kernel'."""
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    last = names[-1]
+    if last in ("scale",):
+        return "bn_scale"
+    if last in ("bias",):
+        return "bias"
+    return "kernel"
+
+
+def label_params(params) -> Any:
+    return jax.tree_util.tree_map_with_path(_group_label, params)
+
+
+def make_lr_schedules(hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
+                      schedule: str = "linear"):
+    """Per-group lr(step) schedules with warmup (train.py:436-444 semantics).
+
+    Warmup spans ``nw = max(warmup_epochs·steps_per_epoch, 100)`` steps; the
+    epoch factor ``lf`` is stepped per epoch like the reference's LambdaLR.
+    """
+    hyp = {**DEFAULT_HYP, **{k: v for k, v in hyp.items() if k in DEFAULT_HYP}}
+    lr0, lrf = hyp["lr0"], hyp["lrf"]
+    lf = one_cycle(1, lrf, epochs) if schedule == "cosine" else linear_lf(lrf, epochs)
+    nw = max(round(hyp["warmup_epochs"] * steps_per_epoch), 100)
+    lf_table = jnp.asarray([lf(e) for e in range(max(epochs, 1))], jnp.float32)
+
+    def base_lr(step):
+        epoch = jnp.minimum(step // steps_per_epoch, epochs - 1)
+        return lr0 * lf_table[epoch]
+
+    def lr_main(step):
+        w = jnp.clip(step / nw, 0.0, 1.0)
+        return base_lr(step) * w
+
+    def lr_bias(step):
+        w = jnp.clip(step / nw, 0.0, 1.0)
+        warm = hyp["warmup_bias_lr"] * (1 - w) + base_lr(step) * w
+        return jnp.where(step < nw, warm, base_lr(step))
+
+    def momentum(step):
+        w = jnp.clip(step / nw, 0.0, 1.0)
+        return hyp["warmup_momentum"] * (1 - w) + hyp["momentum"] * w
+
+    return lr_main, lr_bias, momentum
+
+
+def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
+                    schedule: str = "linear", accumulate: int = 1) -> optax.GradientTransformation:
+    """SGD(momentum, nesterov) with 3 param groups and warmup schedules."""
+    hyp = {**DEFAULT_HYP, **{k: v for k, v in hyp.items() if k in DEFAULT_HYP}}
+    lr_main, lr_bias, momentum = make_lr_schedules(hyp, epochs, steps_per_epoch, schedule)
+    labels = label_params(params)
+
+    def sgd(lr_fn):
+        return optax.inject_hyperparams(
+            lambda learning_rate, momentum: optax.sgd(
+                learning_rate, momentum=momentum, nesterov=True
+            )
+        )(learning_rate=lr_fn, momentum=momentum)
+
+    tx = optax.multi_transform(
+        {
+            "kernel": optax.chain(
+                optax.add_decayed_weights(hyp["weight_decay"]), sgd(lr_main)
+            ),
+            "bn_scale": sgd(lr_main),
+            "bias": sgd(lr_bias),
+        },
+        labels,
+    )
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    return tx
+
+
+class EMAState(NamedTuple):
+    params: Any
+    updates: Array  # int32 counter
+
+
+def ema_init(params) -> EMAState:
+    return EMAState(params=jax.tree.map(jnp.asarray, params), updates=jnp.zeros((), jnp.int32))
+
+
+def ema_update(state: EMAState, params, decay: float = 0.9999, tau: float = 2000.0) -> EMAState:
+    """ModelEMA decay-ramp update (common.py:128-159)."""
+    updates = state.updates + 1
+    d = decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / tau))
+    new = jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), state.params, params)
+    return EMAState(params=new, updates=updates)

@@ -1,0 +1,104 @@
+"""The pjit training step: forward, loss, grads, optimizer, EMA — one program.
+
+Replaces the reference hot loop (``/root/reference/train.py:429-494``):
+autocast/GradScaler → native bf16-safe f32 loss; DDP allreduce → XLA psum
+inserted by jit over the sharded batch; EMA deepcopy → functional pytree
+update; accumulate → optax.MultiSteps (configured in build_optimizer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .optim import EMAState, ema_init, ema_update
+
+Array = jnp.ndarray
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EMAState
+
+    @classmethod
+    def create(cls, variables, tx) -> "TrainState":
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            ema=ema_init(params),
+        )
+
+
+def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.9999):
+    """Build the jittable train step.
+
+    batch = {'image': (B, H, W, 3), 'targets': {task: {boxes, labels, masks,
+    valid[, active]}}}.  Under a mesh, shard batch leaves over 'data' and
+    replicate state — jit partitions the rest.
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        (losses, _), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"],
+            batch["targets"],
+            train=True,
+            compute_masks=mask_weight > 0,
+            mutable=["batch_stats"],
+        )
+        total = model.total_loss(losses, mask_weight)
+        items = {
+            f"{task}/{k}": v
+            for task, tl in losses.items()
+            for k, v in tl["loss_items"].items()
+        }
+        return total, (mutated["batch_stats"], items)
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> tuple:
+        (loss, (new_stats, items)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(state.ema, new_params, decay=ema_decay)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            ema=new_ema,
+        )
+        metrics = dict(items)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, compute_masks: bool = True, use_ema: bool = True):
+    """Jittable eval forward returning (losses, outputs)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, targets=None):
+        params = state.ema.params if use_ema else state.params
+        return model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch,
+            targets,
+            train=False,
+            compute_masks=compute_masks,
+        )
+
+    return eval_step

@@ -1,0 +1,9 @@
+"""SPMD parallelism: device meshes + sharding specs.
+
+Replaces the reference's torch.distributed/DDP/NCCL machinery (SURVEY.md §2.4,
+§5.8) with jax.sharding: batch over the ``data`` axis rides ICI; a ``model``
+axis is provisioned for tensor-parallel growth; WSI tile grids shard over
+``data`` too (spatial parallelism, SURVEY.md §5.7).
+"""
+
+from .mesh import create_mesh, batch_sharding, replicate, replicated, shard_batch  # noqa: F401

@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with DDP (one process per GPU, NCCL allreduce inside
+backward — ``/root/reference/train.py:330-331,683``).  Here a single program
+spans all chips: build a ``Mesh`` over ``(data, model)``, shard the batch
+leaves over ``data``, replicate params over both axes, and jit — XLA inserts
+the gradient ``psum`` over ICI automatically.  The ``×WORLD_SIZE`` loss hack
+(train.py:466-467) has no equivalent: the loss is computed over the global
+logical batch.
+
+Multi-host: call ``jax.distributed.initialize()`` once per host before using
+these helpers (SURVEY.md §5.8); everything else is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """Build a 2-D (data, model) mesh; defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices), 1)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put every array leaf with its leading axis over ``data``."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

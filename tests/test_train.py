@@ -1,0 +1,101 @@
+"""Training engine: optimizer groups/schedules, EMA, pjit train step on an
+8-device CPU mesh, loss decrease over steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hd_yolo_tpu.engines.optim import (
+    build_optimizer,
+    ema_init,
+    ema_update,
+    label_params,
+    make_lr_schedules,
+)
+from hd_yolo_tpu.engines.train_step import TrainState, make_train_step, make_eval_step
+from hd_yolo_tpu.models import Model
+from hd_yolo_tpu.parallel import create_mesh, replicate, shard_batch
+
+from test_model import make_targets
+
+
+def test_param_group_labels():
+    params = {
+        "conv": {"kernel": jnp.zeros((3, 3, 4, 4)), "bias": jnp.zeros(4)},
+        "bn": {"scale": jnp.zeros(4), "bias": jnp.zeros(4)},
+    }
+    labels = label_params(params)
+    assert labels["conv"]["kernel"] == "kernel"
+    assert labels["conv"]["bias"] == "bias"
+    assert labels["bn"]["scale"] == "bn_scale"
+    assert labels["bn"]["bias"] == "bias"
+
+
+def test_lr_schedules_warmup_shapes():
+    hyp = {"lr0": 0.01, "lrf": 0.1, "warmup_epochs": 1.0, "warmup_bias_lr": 0.1}
+    lr_main, lr_bias, mom = make_lr_schedules(hyp, epochs=10, steps_per_epoch=200)
+    # warmup spans max(1*200, 100) = 200 steps
+    assert float(lr_main(0)) == 0.0
+    assert float(lr_bias(0)) == pytest.approx(0.1)
+    assert float(mom(0)) == pytest.approx(0.8)
+    assert float(lr_main(200)) == pytest.approx(0.01 * (1 - 1 / 9 * 0.9), rel=1e-3)
+    assert float(mom(300)) == pytest.approx(0.937)
+    # final epoch lr ≈ lr0 * lrf
+    assert float(lr_main(10 * 200 - 1)) == pytest.approx(0.001, rel=1e-2)
+
+
+def test_ema_ramp():
+    p = {"w": jnp.ones(3)}
+    s = ema_init(p)
+    s2 = ema_update(s, {"w": jnp.zeros(3)}, decay=0.9999, tau=2000.0)
+    d = 0.9999 * (1 - np.exp(-1 / 2000))
+    np.testing.assert_allclose(np.asarray(s2.params["w"]), d, rtol=1e-3)  # f32 1-exp(-x) cancellation
+    assert int(s2.updates) == 1
+
+
+@pytest.mark.slow
+def test_train_step_loss_decreases_on_mesh():
+    """3 optimizer steps on one fixed batch over an 8-device mesh: loss drops,
+    EMA tracks, batch_stats update."""
+    model = Model.from_cfg(
+        "yolov5s-test", "hyp-nuclei", mask_rois=4, max_masks=8, pre_nms_topk=64
+    )
+    rng = np.random.default_rng(0)
+    B, H = 8, 128
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (B, H, H, 3)).astype(np.float32)),
+        "targets": jax.tree.map(
+            lambda x: jnp.asarray(np.tile(np.asarray(x), (4,) + (1,) * (np.asarray(x).ndim - 1))),
+            make_targets(rng, 2, 8, 4),
+        ),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["image"], batch["targets"], train=True, compute_masks=True
+    )
+    tx = build_optimizer(
+        variables["params"], {"lr0": 0.05, "warmup_epochs": 0.0}, epochs=3, steps_per_epoch=3
+    )
+    state = TrainState.create(variables, tx)
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    step = make_train_step(model, tx)
+    with mesh:
+        state = replicate(state, mesh)
+        sb = shard_batch(batch, mesh)
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, sb)
+            losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 4
+    assert int(state.ema.updates) == 4
+    # EMA params differ from live params but are close
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, state.ema.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+    # eval step runs with EMA params
+    ev = make_eval_step(model)
+    _, out = ev(state, batch["image"])
+    assert out["det"]["boxes"].shape[0] == B
