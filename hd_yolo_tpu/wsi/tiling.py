@@ -1,0 +1,132 @@
+"""Tile-grid generation, on-device tile extraction and stitched inference.
+
+Behavioral reference:
+  * ``sliding_window_scanner`` (``/root/reference/hnet/utils.py:37-62``):
+    cover an H×W region with fixed tiles + overlap, snapping the last
+    row/column inward so every tile is full-size.
+  * ``Detect.merge_outputs`` (``yolo_head.py:450-463``): offset per-tile boxes
+    by tile origin and concatenate.
+  * global dedup via NMS (``Ensemble.merge``, ``yolo.py:165-204``).
+
+TPU-first: tiles are extracted on device with ``dynamic_slice`` (the slide
+lives in HBM once; no host round-trips per tile), the tile batch streams
+through one jitted forward, and stitching runs a padded class-aware global
+NMS on device.  Shard the tile batch over the mesh 'data' axis for multi-chip
+slides — each chip streams its sub-grid through the same program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import batched_nms_padded
+
+Array = jnp.ndarray
+
+
+def sliding_window_grid(
+    h: int, w: int, tile: int = 640, overlap: int = 64
+) -> np.ndarray:
+    """(N, 2) int32 (y, x) tile origins covering an h×w slide.
+
+    Stride = tile − overlap; the final row/col snaps inward so tiles never
+    cross the border (full static tile shapes, like hnet/utils.py:37-62).
+    """
+    stride = tile - overlap
+    assert stride > 0
+
+    def starts(size):
+        if size <= tile:
+            return [0]
+        s = list(range(0, size - tile, stride))
+        s.append(size - tile)
+        return s
+
+    ys, xs = starts(h), starts(w)
+    grid = [(y, x) for y in ys for x in xs]
+    return np.asarray(grid, np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def extract_tiles(slide: Array, origins: Array, tile: int) -> Array:
+    """Gather (N, tile, tile, C) tile batch from an (H, W, C) slide in HBM."""
+
+    def one(origin):
+        return jax.lax.dynamic_slice(
+            slide, (origin[0], origin[1], 0), (tile, tile, slide.shape[-1])
+        )
+
+    return jax.lax.map(one, origins)
+
+
+def slide_inference(
+    forward: Callable[[Array], Dict[str, Array]],
+    slide: Array,
+    tile: int = 640,
+    overlap: int = 64,
+    batch: int = 8,
+    iou_thres: float = 0.45,
+    max_total: int = 4096,
+    class_aware_nms: bool = True,
+    preprocess: Optional[Callable[[Array], Array]] = None,
+) -> Dict[str, np.ndarray]:
+    """Run tiled inference over a slide and stitch detections globally.
+
+    Args:
+      forward: jitted fn (B, tile, tile, C) → per-image output dict with
+        'boxes' (B, D, 4), 'scores' (B, D), 'labels' (B, D), 'valid' (B, D)
+        (a single task's outputs from ``Model.apply``; pick the task upstream).
+      slide: (H, W, C) float array (device or host).
+      max_total: capacity of the stitched detection set entering global NMS.
+
+    Returns dict of host arrays: boxes (slide coords), scores, labels, valid
+    (+ masks/mask_valid when the forward provides them).
+    """
+    H, W = slide.shape[:2]
+    origins = sliding_window_grid(H, W, tile, overlap)
+    n = len(origins)
+    pad = (-n) % batch
+    origins_p = np.concatenate([origins, np.tile(origins[-1:], (pad, 1))]) if pad else origins
+    slide = jnp.asarray(slide)
+
+    chunks = []
+    for i in range(0, len(origins_p), batch):
+        ob = jnp.asarray(origins_p[i : i + batch])
+        tiles = extract_tiles(slide, ob, tile)
+        if preprocess is not None:
+            tiles = preprocess(tiles)
+        out = forward(tiles)
+        # shift boxes into slide coordinates (merge_outputs semantics)
+        shift = ob[:, None, jnp.asarray([1, 0, 1, 0])].astype(out["boxes"].dtype)
+        chunk = dict(out)
+        chunk["boxes"] = out["boxes"] + shift
+        chunks.append(jax.tree.map(np.asarray, chunk))
+
+    merged: Dict[str, np.ndarray] = {}
+    for k in chunks[0]:
+        merged[k] = np.concatenate([c[k] for c in chunks])[:n]  # drop pad tiles
+    flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in merged.items()}
+
+    # keep top max_total by score before the global NMS
+    score = np.where(flat["valid"], flat["scores"], -np.inf)
+    order = np.argsort(-score)[:max_total]
+    sel = {k: v[order] for k, v in flat.items()}
+
+    labels_for_nms = sel["labels"] if class_aware_nms else np.zeros_like(sel["labels"])
+    idx, keep = batched_nms_padded(
+        jnp.asarray(sel["boxes"]),
+        jnp.asarray(np.where(sel["valid"], sel["scores"], -np.inf)),
+        jnp.asarray(np.where(labels_for_nms < 0, 0, labels_for_nms)),  # −100 → class 0 bucket
+        jnp.asarray(sel["valid"]),
+        iou_thres,
+        max_det=max_total,
+    )
+    idx, keep = np.asarray(idx), np.asarray(keep)
+    out = {k: v[idx] for k, v in sel.items()}
+    out["valid"] = keep & out["valid"]
+    return out
