@@ -1,0 +1,350 @@
+"""Multi-task detection dataset: CSV index → padded, TPU-ready batches.
+
+Behavioral reference: ``/root/reference/metayolo/datasets.py:542-870``:
+  * CSV rows ``image_path,image_id,ann_id,ann_path,task_id,mask_mode`` with an
+    image↔annotation map and an in-memory annotation cache (:562-579),
+  * training ``__getitem__``: k×k mosaic of random partner images, per-tile
+    color/projective/flip augs, assembly, random crop to ``img_size``,
+    small-object filter (:646-724),
+  * validation: deterministic resize (center pad/crop under keep_res),
+  * ``target_to_tensors``: per-object 28×28 in-box mask crops, normalized
+    boxes (:462-519).
+
+TPU-first divergence: instead of ragged per-image target lists + tuple-zip
+collate, every sample is padded to ``max_targets`` with a validity mask and
+batches are plain stacked arrays — the exact schema the jitted train step
+consumes.  Annotation files may be ``.npz`` (native) or ``.pt`` (imported
+from the reference's converters).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from collections import defaultdict
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from .. import LOGGER
+from .augment import train_proc
+from .mask import Mask
+
+Ann = Dict[str, object]
+
+
+def load_annotation_file(path: str) -> Dict[str, np.ndarray]:
+    """Load {boxes, labels, masks, size} from .npz (native) or .pt (torch)."""
+    if path.endswith(".npz"):
+        z = np.load(path, allow_pickle=True)
+        return {k: z[k] for k in z.files}
+    if path.endswith((".pt", ".pth")):
+        import torch
+
+        d = torch.load(path, map_location="cpu", weights_only=False)
+        return {
+            k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in d.items()
+        }
+    raise ValueError(f"unsupported annotation format: {path}")
+
+
+class DetectionDataset:
+    """CSV-indexed multi-task dataset producing padded samples."""
+
+    def __init__(
+        self,
+        data,
+        hyp: Dict,
+        train: bool = True,
+        max_targets: int = 256,
+        mask_size: int = 28,
+        in_memory: bool = True,
+        root: Optional[str] = None,
+    ):
+        self.hyp = dict(hyp)
+        self.train = train
+        self.max_targets = max_targets
+        self.mask_size = mask_size
+        self.img_size = int(self.hyp.get("img_size", 640))
+        self.patch_size = int(self.hyp.get("patch_size", self.img_size))
+        self.k_mosaic = int(self.hyp.get("k_mosaic", 2)) if train else 1
+
+        self.root = root or "./"
+        if isinstance(data, str):
+            import pandas as pd
+
+            self.root = root or os.path.dirname(data)
+            data = pd.read_csv(data).to_dict("records")
+        self.images: List[dict] = []
+        self.annotations: List[dict] = []
+        self.ann_cache: List[Optional[dict]] = []
+        id_map: Dict[object, int] = {}
+        for ann_idx, info in enumerate(data):
+            image_id = info["image_id"]
+            if image_id not in id_map:
+                id_map[image_id] = len(self.images)
+                self.images.append(
+                    {"image_id": image_id, "image_path": info["image_path"], "anns": []}
+                )
+            img_pos = id_map[image_id]
+            self.annotations.append({**info, "image_idx": img_pos})
+            self.images[img_pos]["anns"].append(ann_idx)
+            self.ann_cache.append(self._load_annotation(ann_idx) if in_memory else None)
+
+        self.task_ids = sorted({a["task_id"] for a in self.annotations})
+
+    # ------------------------------------------------------------------ loading
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def _load_annotation(self, ann_idx: int) -> dict:
+        info = self.annotations[ann_idx]
+        raw = load_annotation_file(os.path.join(self.root, info["ann_path"]))
+        size = tuple(int(s) for s in np.asarray(raw["size"]).reshape(-1)[:2])
+        mode = info.get("mask_mode", "poly")
+        masks_raw = raw.get("masks", None)
+        masks: List[Optional[Mask]] = []
+        n = len(np.asarray(raw["boxes"]).reshape(-1, 4))
+        if masks_raw is None:
+            masks = [None] * n
+        else:
+            for m in list(masks_raw)[:n]:
+                masks.append(Mask(m, size, mode) if m is not None and len(np.atleast_1d(m)) else None)
+            masks += [None] * (n - len(masks))
+        return {
+            "boxes": np.asarray(raw["boxes"], np.float32).reshape(-1, 4),
+            "labels": np.asarray(raw["labels"], np.int64).reshape(-1),
+            "masks": masks,
+            "size": size,
+        }
+
+    def get_annotation(self, ann_idx: int) -> dict:
+        cached = self.ann_cache[ann_idx]
+        return cached if cached is not None else self._load_annotation(ann_idx)
+
+    def load_image_and_target(self, idx: int) -> Tuple[np.ndarray, Dict[str, Ann]]:
+        info = self.images[idx]
+        img = cv2.imread(os.path.join(self.root, info["image_path"]))
+        if img is None:
+            raise FileNotFoundError(info["image_path"])
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        anns: Dict[str, Ann] = {}
+        for ann_idx in info["anns"]:
+            task = self.annotations[ann_idx]["task_id"]
+            a = self.get_annotation(ann_idx)
+            if task in anns:  # merge multiple annotation groups (datasets.py:444-459)
+                anns[task] = _merge_anns(anns[task], a)
+            else:
+                anns[task] = {k: (list(v) if k == "masks" else np.copy(v) if isinstance(v, np.ndarray) else v)
+                              for k, v in a.items()}
+        return img, anns
+
+    # ----------------------------------------------------------------- geometry
+    @staticmethod
+    def _resize(img: np.ndarray, anns: Dict[str, Ann], size: int):
+        h, w = img.shape[:2]
+        if (h, w) == (size, size):
+            return img, anns
+        sy, sx = size / h, size / w
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        out = {}
+        for task, a in anns.items():
+            boxes = np.asarray(a["boxes"], np.float32) * [sx, sy, sx, sy]
+            masks = [m.rescale(sy, sx, (size, size)) if m is not None else None
+                     for m in a.get("masks", [None] * len(boxes))]
+            out[task] = {"boxes": boxes, "labels": np.asarray(a["labels"]), "masks": masks}
+        return img, out
+
+    @staticmethod
+    def _shift(anns: Dict[str, Ann], dy: int, dx: int, size) -> Dict[str, Ann]:
+        out = {}
+        for task, a in anns.items():
+            boxes = np.asarray(a["boxes"], np.float32) + [dx, dy, dx, dy]
+            masks = [m.pad(dy, dx, size) if m is not None else None
+                     for m in a.get("masks", [None] * len(boxes))]
+            out[task] = {"boxes": boxes, "labels": np.asarray(a["labels"]), "masks": masks}
+        return out
+
+    # ---------------------------------------------------------------- get item
+    def __getitem__(self, idx: int) -> Dict[str, object]:
+        if self.train:
+            img, anns = self._train_sample(idx)
+        else:
+            img, anns = self.load_image_and_target(idx)
+            img, anns = self._resize(img, anns, self.img_size)
+        return self._to_padded(img, anns)
+
+    def _train_sample(self, idx: int):
+        k = self.k_mosaic
+        size = self.patch_size
+        indices = [idx] + random.choices(range(len(self)), k=k * k - 1)
+        random.shuffle(indices)
+        rows = []
+        merged: Dict[str, dict] = defaultdict(lambda: {"boxes": [], "labels": [], "masks": []})
+        canvas = np.full((k * size, k * size, 3), 114, np.uint8)
+        for rc, img_idx in enumerate(indices):
+            r, c = rc // k, rc % k
+            img, anns = self.load_image_and_target(img_idx)
+            img, anns = self._resize(img, anns, size)
+            img, anns = _apply_train_proc(img, anns, self.hyp)
+            canvas[r * size : (r + 1) * size, c * size : (c + 1) * size] = img
+            shifted = self._shift(anns, r * size, c * size, (k * size, k * size))
+            for task, a in shifted.items():
+                merged[task]["boxes"].append(a["boxes"])
+                merged[task]["labels"].append(a["labels"])
+                merged[task]["masks"].extend(a["masks"])
+        anns = {
+            t: {
+                "boxes": np.concatenate(v["boxes"]) if v["boxes"] else np.zeros((0, 4), np.float32),
+                "labels": np.concatenate(v["labels"]) if v["labels"] else np.zeros((0,), np.int64),
+                "masks": v["masks"],
+            }
+            for t, v in merged.items()
+        }
+        # random crop to img_size (datasets.py:697-712)
+        H = canvas.shape[0]
+        if H > self.img_size:
+            y0 = random.randint(0, H - self.img_size)
+            x0 = random.randint(0, H - self.img_size)
+            canvas = canvas[y0 : y0 + self.img_size, x0 : x0 + self.img_size]
+            anns = self._shift(anns, -y0, -x0, (self.img_size, self.img_size))
+            for a in anns.values():
+                a["boxes"] = np.clip(
+                    a["boxes"], 0, [self.img_size, self.img_size, self.img_size, self.img_size]
+                )
+        return canvas, anns
+
+    def _to_padded(self, img: np.ndarray, anns: Dict[str, Ann]) -> Dict[str, object]:
+        """Pad every task's annotations to max_targets; 28×28 in-box masks."""
+        H, W = img.shape[:2]
+        T, M = self.max_targets, self.mask_size
+        targets = {}
+        for task in self.task_ids:
+            boxes = np.zeros((T, 4), np.float32)
+            labels = np.zeros((T,), np.int64)
+            masks = np.zeros((T, M, M), np.float32)
+            valid = np.zeros((T,), bool)
+            a = anns.get(task)
+            if a is not None and len(a["boxes"]):
+                b = np.asarray(a["boxes"], np.float32)
+                l = np.asarray(a["labels"], np.int64)
+                keep = (b[:, 2] - b[:, 0] > 10) & (b[:, 3] - b[:, 1] > 10)  # small-object filter
+                b, l = b[keep], l[keep]
+                mlist = [m for m, k2 in zip(a["masks"], keep) if k2]
+                n = min(len(b), T)
+                if len(b) > T:
+                    LOGGER.debug(f"truncating {len(b)} targets to {T}")
+                boxes[:n] = b[:n] / [W, H, W, H]  # normalized xyxy
+                labels[:n] = l[:n]
+                valid[:n] = True
+                for i in range(n):
+                    if mlist[i] is not None:
+                        masks[i] = (mlist[i].box_crop(b[i], M) > 0.5).astype(np.float32)
+            targets[task] = {
+                "boxes": boxes, "labels": labels, "masks": masks,
+                "valid": valid, "active": np.asarray(a is not None),
+            }
+        image = img.astype(np.float32) / 255.0
+        return {"image": image, "targets": targets}
+
+
+def _merge_anns(a: Ann, b: Ann) -> Ann:
+    return {
+        "boxes": np.concatenate([np.asarray(a["boxes"]).reshape(-1, 4),
+                                 np.asarray(b["boxes"]).reshape(-1, 4)]),
+        "labels": np.concatenate([np.asarray(a["labels"]), np.asarray(b["labels"])]),
+        "masks": list(a.get("masks", [])) + list(b.get("masks", [])),
+        "size": a.get("size"),
+    }
+
+
+def _apply_train_proc(img, anns, hyp):
+    out = {}
+    for task, a in anns.items():
+        img2, a2 = train_proc(img, a, hyp)
+        out[task] = a2
+        img = img2  # color/geo params are per-tile; tasks share the image warp
+    return img, out
+
+
+def collate_padded(samples: Sequence[Dict[str, object]]) -> Dict[str, object]:
+    """Stack padded samples into the train-step batch schema."""
+    batch = {"image": np.stack([s["image"] for s in samples])}
+    tasks = samples[0]["targets"].keys()
+    batch["targets"] = {
+        t: {
+            k: np.stack([s["targets"][t][k] for s in samples])
+            for k in samples[0]["targets"][t]
+        }
+        for t in tasks
+    }
+    return batch
+
+
+class DataLoader:
+    """Minimal prefetching loader (InfiniteDataLoader analog, datasets.py:816-846).
+
+    Background threads run ``dataset[i]`` (cv2 releases the GIL for the heavy
+    ops); batches come out in order.  ``infinite=True`` reshuffles each epoch.
+    """
+
+    def __init__(self, dataset: DetectionDataset, batch_size: int = 8, shuffle: bool = True,
+                 workers: int = 4, infinite: bool = False, seed: int = 0,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.workers = max(workers, 1)
+        self.infinite = infinite
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> List[int]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + epoch).shuffle(idx)
+        if self.drop_last:
+            idx = idx[: len(self) * self.batch_size]
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, object]]:
+        epoch = 0
+        while True:
+            indices = self._epoch_indices(epoch)
+            batches = [
+                indices[i : i + self.batch_size]
+                for i in range(0, len(indices), self.batch_size)
+            ]
+            q: "queue.Queue" = queue.Queue(maxsize=self.workers * 2)
+
+            def producer(batches=batches):
+                with_threads = self.workers > 1
+                if with_threads:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(self.workers) as ex:
+                        for bidx in batches:
+                            samples = list(ex.map(self.dataset.__getitem__, bidx))
+                            q.put(collate_padded(samples))
+                else:
+                    for bidx in batches:
+                        q.put(collate_padded([self.dataset[i] for i in bidx]))
+                q.put(None)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+            if not self.infinite:
+                return
+            epoch += 1

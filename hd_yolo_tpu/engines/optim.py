@@ -71,7 +71,8 @@ def make_lr_schedules(hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
     lf_table = jnp.asarray([lf(e) for e in range(max(epochs, 1))], jnp.float32)
 
     def base_lr(step):
-        epoch = jnp.minimum(step // steps_per_epoch, epochs - 1)
+        # optax may pass the count as float; indexers must be integer
+        epoch = jnp.minimum(step // steps_per_epoch, epochs - 1).astype(jnp.int32)
         return lr0 * lf_table[epoch]
 
     def lr_main(step):

@@ -1,0 +1,230 @@
+"""Training driver: dataset → pjit steps → per-epoch val → checkpoints.
+
+Behavioral reference: ``/root/reference/train.py:87-588`` (see SURVEY.md §3.1
+for the full call stack).  CLI keeps the reference's meaningful flags
+(--data/--cfg/--hyp/--epochs/--batch-size/--img-size/--masks/--resume/
+--patience/--freeze); DDP/world-size flags are gone — the mesh replaces them.
+
+Per-header hyp rescaling (train.py:334-345) is applied before the model is
+built: box·3/nl, cls·nc/80·3/nl, obj·(imgsz/640)²·3/nl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import LOGGER
+from ..config import load_cfg, load_dataset_info, save_cfg
+from ..data.dataset import DataLoader, DetectionDataset
+from ..models import Model
+from ..parallel import auto_mesh, replicate, shard_batch
+from . import val as val_engine
+from .callbacks import Callbacks
+from .checkpoint import restore_train_state, save_checkpoint, save_inference
+from .loggers import Loggers
+from .optim import build_optimizer
+from .train_step import TrainState, make_train_step
+
+
+def fitness_weights(stats: Dict[str, float]) -> float:
+    """0.1·mAP@.5 + 0.9·mAP@.5:.95 (engines/general.py:39-42)."""
+    return stats.get("map50", 0.0) * 0.1 + stats.get("map", 0.0) * 0.9
+
+
+def scale_task_hyp(hyp: dict, spec, img_size: int) -> dict:
+    """Per-header loss-gain rescaling (train.py:334-345)."""
+    hyp = dict(hyp)
+    for h in spec.headers:
+        tag = h.tag
+        if tag not in hyp:
+            continue
+        nl = len(h.strides)
+        th = dict(hyp[tag])
+        th["box"] = th.get("box", 0.05) * 3.0 / nl
+        th["cls"] = th.get("cls", 0.5) * h.nc / 80.0 * 3.0 / nl
+        th["obj"] = th.get("obj", 1.0) * (img_size / 640.0) ** 2 * 3.0 / nl
+        hyp[tag] = th
+    return hyp
+
+
+class EarlyStopping:
+    """models/utils_torch.py:140-160."""
+
+    def __init__(self, patience: int = 30):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_epoch, self.best_fitness = epoch, fitness
+        stop = (epoch - self.best_epoch) >= self.patience
+        if stop:
+            LOGGER.info(
+                f"Stopping early: no improvement in last {self.patience} epochs "
+                f"(best epoch {self.best_epoch})."
+            )
+        return stop
+
+
+def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
+    callbacks = callbacks or Callbacks()
+    save_dir = opt.save_dir
+    os.makedirs(save_dir, exist_ok=True)
+    data_info = load_dataset_info(opt.data)
+    hyp = load_cfg(opt.hyp)
+    loggers = Loggers(save_dir)
+    loggers.register(callbacks)
+
+    from ..models.builder import parse_model_cfg
+
+    spec0 = parse_model_cfg(opt.cfg, hyp)
+    hyp = scale_task_hyp(hyp, spec0, opt.img_size)
+    save_cfg(hyp, os.path.join(save_dir, "hyp.yaml"))
+
+    model = Model.from_cfg(
+        opt.cfg, hyp,
+        dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+        mask_rois=opt.mask_rois, max_masks=opt.max_masks,
+    )
+
+    train_ds = DetectionDataset(
+        data_info["train"],
+        {**hyp, "img_size": opt.img_size, "patch_size": opt.patch_size or opt.img_size,
+         "k_mosaic": opt.k_mosaic, "keep_res": opt.keep_res},
+        train=True, max_targets=opt.max_targets,
+    )
+    val_ds = DetectionDataset(
+        data_info["val"], {"img_size": opt.img_size},
+        train=False, max_targets=opt.max_targets,
+    )
+    train_dl = DataLoader(train_ds, opt.batch_size, workers=opt.workers, infinite=True)
+    val_dl = DataLoader(val_ds, opt.batch_size, workers=opt.workers, shuffle=False,
+                        drop_last=False)
+    steps_per_epoch = max(len(train_dl), 1)
+
+    # init model/optimizer
+    sample = next(iter(DataLoader(train_ds, 1, workers=1)))
+    x0 = jnp.zeros((opt.batch_size,) + sample["image"].shape[1:], jnp.float32)
+    t0 = jax.tree.map(
+        lambda a: jnp.zeros((opt.batch_size,) + np.asarray(a).shape[1:], np.asarray(a).dtype),
+        jax.tree.map(np.asarray, collate_n(sample, opt.batch_size)["targets"]),
+    )
+    variables = jax.jit(
+        lambda k: model.init(k, x0, t0, train=True, compute_masks=opt.masks)
+    )(jax.random.PRNGKey(opt.seed))
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    LOGGER.info(f"model params: {n_params:,}")
+
+    tx = build_optimizer(
+        variables["params"], hyp, opt.epochs, steps_per_epoch,
+        schedule="cosine" if opt.cos_lr else "linear",
+        accumulate=max(round(opt.nominal_batch_size / opt.batch_size), 1),
+    )
+    state = TrainState.create(variables, tx)
+    start_epoch, best_fitness = 0, 0.0
+    if opt.resume and os.path.exists(os.path.join(save_dir, "last")):
+        state, meta = restore_train_state(os.path.join(save_dir, "last"), state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_fitness = float(meta.get("best_fitness", 0.0))
+        LOGGER.info(f"resumed from epoch {start_epoch}")
+
+    mesh = auto_mesh(opt.batch_size)
+    LOGGER.info(f"mesh: {mesh.devices.shape} over {mesh.devices.size} device(s)")
+    step_fn = make_train_step(model, tx, mask_weight=1.0 if opt.masks else 0.0)
+    stopper = EarlyStopping(opt.patience)
+    meta_info = data_info.get("meta_info", {})
+
+    callbacks.run("on_train_start")
+    train_iter = iter(train_dl)
+    final_stats: Dict[str, float] = {}
+    with mesh:
+        state = replicate(state, mesh)
+        for epoch in range(start_epoch, opt.epochs):
+            callbacks.run("on_train_epoch_start")
+            t_epoch = time.time()
+            mloss: Dict[str, float] = {}
+            for i in range(steps_per_epoch):
+                batch = shard_batch(next(train_iter), mesh)
+                state, metrics = step_fn(state, batch)
+                for k, v in metrics.items():
+                    mloss[k] = mloss.get(k, 0.0) + float(v) / steps_per_epoch
+                callbacks.run("on_train_batch_end")
+            callbacks.run("on_train_epoch_end", epoch=epoch)
+
+            ev_vars = {"params": state.ema.params, "batch_stats": state.batch_stats}
+            fit, stats, _ = val_engine.run(
+                model, ev_vars,
+                ((b["image"], b["targets"]) for b in val_dl),
+                meta_info=meta_info, compute_masks=opt.masks, verbose=opt.verbose,
+            )
+            final_stats = {f"{t}/{k}": v for t, s in stats.items() for k, v in s.items()}
+            LOGGER.info(
+                f"epoch {epoch}: loss={mloss.get('loss', float('nan')):.4f} "
+                f"fitness={fit:.4f} ({time.time()-t_epoch:.0f}s)"
+            )
+            callbacks.run(
+                "on_fit_epoch_end", {**mloss, **final_stats, "fitness": fit}, epoch,
+                best_fitness, fit,
+            )
+
+            if fit >= best_fitness:
+                best_fitness = fit
+                save_checkpoint(os.path.join(save_dir, "best"), state, epoch, best_fitness)
+            save_checkpoint(os.path.join(save_dir, "last"), state, epoch, best_fitness)
+            callbacks.run("on_model_save", epoch=epoch)
+            if stopper(epoch, fit):
+                break
+
+    save_inference(os.path.join(save_dir, "final"), state)
+    callbacks.run("on_train_end")
+    return {"best_fitness": best_fitness, **final_stats}
+
+
+def collate_n(sample: dict, n: int) -> dict:
+    """Tile a single collated sample to batch size n (for shape init)."""
+    return jax.tree.map(lambda a: np.repeat(np.asarray(a), n, axis=0), sample)
+
+
+def argument_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("hd_yolo_tpu train")
+    p.add_argument("--data", required=True, help="data yaml")
+    p.add_argument("--cfg", default="yolov5l6-mask", help="model yaml")
+    p.add_argument("--hyp", default="hyp-nuclei", help="hyp yaml")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", dest="batch_size", type=int, default=32)
+    p.add_argument("--nominal-batch-size", dest="nominal_batch_size", type=int, default=64)
+    p.add_argument("--img-size", dest="img_size", type=int, default=640)
+    p.add_argument("--patch-size", dest="patch_size", type=int, default=None)
+    p.add_argument("--k-mosaic", dest="k_mosaic", type=int, default=2)
+    p.add_argument("--keep-res", dest="keep_res", type=float, default=-1)
+    p.add_argument("--masks", action="store_true")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--cos-lr", dest="cos_lr", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--patience", type=int, default=30)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-targets", dest="max_targets", type=int, default=256)
+    p.add_argument("--mask-rois", dest="mask_rois", type=int, default=64)
+    p.add_argument("--max-masks", dest="max_masks", type=int, default=100)
+    p.add_argument("--save-dir", dest="save_dir", default="runs/train/exp")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    opt = argument_parser().parse_args(argv)
+    return train(opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Validation loop: jitted eval forward + streaming APMeter per task.
+
+Behavioral reference: ``/root/reference/val_nuclei.py:34-220``:
+  * ``flatten_onehot_objects`` one-hot→flat labels (:34-48),
+  * per-task APMeter + ``summarize_stats`` (max-F1 point; fitness =
+    0.1·mAP@.5 + 0.9·mAP@.5:.95 over the first 4 classes) (:51-94),
+  * timing buckets [data, inference, metrics] per image (:127-144, 211-212).
+
+Static-shape adaptation: the model emits padded (B, D, ...) detection arrays;
+valid slots are sliced out host-side before entering the meter.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .. import LOGGER
+from ..models.metrics import APMeter
+
+
+def flatten_onehot_objects(x: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """One-hot / multi-label objects → one flat object per set label
+    (val_nuclei.py:34-48).  Column 0 (unlabeled) maps to −100."""
+    labels = np.asarray(x["labels"])
+    assert labels.ndim == 2, f"labels must be one-hot, got {labels.shape}"
+    nbox, nc = labels.shape
+    keep = labels.reshape(-1) > 0.0
+
+    res = dict(x)
+    flat = np.tile(np.arange(nc), nbox)[keep]
+    flat[flat == 0] = -100
+    res["labels"] = flat
+    res["boxes"] = np.repeat(np.asarray(x["boxes"]), nc, 0)[keep]
+    if "scores" in res:
+        res["scores"] = np.asarray(x["scores"]).reshape(-1)[keep]
+    if "masks" in res:
+        res["masks"] = np.repeat(np.asarray(x["masks"]), nc, 0)[keep]
+    return res
+
+
+def summarize_stats(ap_meter: APMeter, task_id: str, core_classes: int = 4,
+                    verbose: bool = True) -> Dict[str, float]:
+    """Max-F1 operating point + fitness (val_nuclei.py:51-94)."""
+    stats = ap_meter.ap_per_class(ignore=[-100, -1])
+    names = ap_meter.labels_text
+    if stats["ap"].shape[0] == 0:
+        return {"mp": 0.0, "mr": 0.0, "f1": 0.0, "map50": 0.0, "map": 0.0, "fitness": 0.0}
+
+    idx = stats["f1"].mean(0).argmax()
+    p, r, f1 = stats["p"][:, idx], stats["r"][:, idx], stats["f1"][:, idx]
+    ap50, ap = stats["ap"][:, 0], stats["ap"].mean(1)
+
+    k = core_classes
+    map50, map_ = ap50[:k].mean(), ap[:k].mean()
+    mp, mr, mf1 = p[:k].mean(), r[:k].mean(), f1[:k].mean()
+    fitness = map50 * 0.1 + map_ * 0.9
+
+    if verbose:
+        LOGGER.info(("%10s" * 2 + "%12s" * 5) % (task_id, "Labels", "P", "R", "F1", "mAP@.5", "mAP@.5:.95"))
+        pf = "%10s" + "%10i" + "%12.3g" * 5
+        LOGGER.info(pf % ("all", sum(stats["counts"]), mp, mr, mf1, map50, map_))
+        for i, c in enumerate(stats["labels"]):
+            LOGGER.info(pf % (names.get(c, c), stats["counts"][i], p[i], r[i], f1[i], ap50[i], ap[i]))
+
+    return {"mp": mp, "mr": mr, "f1": mf1, "map50": map50, "map": map_, "fitness": fitness}
+
+
+def _unpad_output(out: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
+    v = np.asarray(out["valid"][i])
+    res = {
+        "boxes": np.asarray(out["boxes"][i])[v],
+        "scores": np.asarray(out["scores"][i])[v],
+        "labels": np.asarray(out["labels"][i])[v],
+    }
+    if "masks" in out:
+        mv = np.asarray(out["mask_valid"][i])
+        R = out["masks"].shape[1]
+        if v[:R].sum() == v.sum():  # all valid dets have mask slots
+            res["masks"] = np.asarray(out["masks"][i])[v[:R]]
+    return res
+
+
+def _unpad_target(t: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
+    v = np.asarray(t["valid"][i])
+    res = {
+        "boxes": np.asarray(t["boxes"][i])[v],
+        "labels": np.asarray(t["labels"][i])[v],
+    }
+    if "masks" in t:
+        res["masks"] = np.asarray(t["masks"][i])[v]
+    return res
+
+
+def run(
+    model,
+    variables: Dict[str, Any],
+    data_iter: Iterable[Tuple[np.ndarray, Dict[str, Dict[str, np.ndarray]]]],
+    meta_info: Optional[Dict[str, Dict]] = None,
+    compute_masks: bool = False,
+    iou_type: str = "boxes",
+    input_size: Optional[int] = None,
+    core_classes: int = 4,
+    verbose: bool = True,
+):
+    """Validate over an iterator of (images, padded targets).
+
+    Returns (fitness, per-task stats dict, (t_data, t_infer, t_metrics) ms/img).
+    """
+    meta_info = meta_info or {}
+    meters: Dict[str, APMeter] = {}
+
+    fwd = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, compute_masks=compute_masks)[1]
+    )
+
+    dt = [0.0, 0.0, 0.0]
+    n_images = 0
+    t_last = time.time()
+    for images, targets in data_iter:
+        dt[0] += time.time() - t_last
+        t0 = time.time()
+        images_j = jax.numpy.asarray(images, dtype=jax.numpy.float32)
+        if input_size is not None and images_j.shape[1] != input_size:
+            images_j = jax.image.resize(
+                images_j,
+                (images_j.shape[0], input_size, input_size, images_j.shape[-1]),
+                "bilinear",
+            )
+        outputs = jax.tree.map(np.asarray, fwd(variables, images_j))
+        dt[1] += time.time() - t0
+        t0 = time.time()
+        B = images.shape[0]
+        n_images += B
+        for task_id, out in outputs.items():
+            if task_id not in meters:
+                labels_text = dict(meta_info.get(task_id, {}).get("labels_text", {}))
+                meters[task_id] = APMeter(labels_text)
+            tgt = targets[task_id]
+            scale = 1.0
+            if input_size is not None:
+                scale = 1.0  # boxes normalized below
+            for i in range(B):
+                o = _unpad_output(out, i)
+                t = _unpad_target(tgt, i)
+                # targets are normalized xyxy; scale to model input frame
+                h, w = images_j.shape[1:3]
+                t = dict(t)
+                t["boxes"] = np.asarray(t["boxes"], np.float64) * [w, h, w, h]
+                if np.asarray(t["labels"]).ndim == 2:
+                    t = flatten_onehot_objects(t)
+                meters[task_id].add(o, t, iou_type=iou_type)
+        dt[2] += time.time() - t0
+        t_last = time.time()
+
+    stats = {
+        task_id: summarize_stats(meter, task_id, core_classes, verbose)
+        for task_id, meter in meters.items()
+    }
+    fitness = float(np.mean([s["fitness"] for s in stats.values()])) if stats else 0.0
+    times = tuple(1000.0 * d / max(n_images, 1) for d in dt)
+    if verbose:
+        LOGGER.info(
+            "Speed: %.1f ms data, %.1f ms inference, %.1f ms metrics per image" % times
+        )
+    return fitness, stats, times

@@ -108,7 +108,10 @@ def det_loss(
         pxy = jax.nn.sigmoid(pr[:, 0:2]) * 2.0 - 0.5
         pwh = (jax.nn.sigmoid(pr[:, 2:4]) * 2.0) ** 2 * m.anchor_wh
         pbox = jnp.concatenate([pxy, pwh], -1)
-        iou = bbox_iou(pbox, m.tbox, xywh=True, CIoU=True)[:, 0]  # (N,)
+        # padded slots carry zero-wh GT boxes → CIoU's arctan(w/h) would NaN and
+        # poison the masked mean; substitute a unit box in invalid slots.
+        tbox = jnp.where(mvalid[:, None], m.tbox, jnp.asarray([0.0, 0.0, 1.0, 1.0], f32))
+        iou = bbox_iou(pbox, tbox, xywh=True, CIoU=True)[:, 0]  # (N,)
         lbox = lbox + masked_mean(1.0 - iou, mvalid)
         cand_ious.append(iou)
 

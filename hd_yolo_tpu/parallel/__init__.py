@@ -6,4 +6,4 @@ axis is provisioned for tensor-parallel growth; WSI tile grids shard over
 ``data`` too (spatial parallelism, SURVEY.md §5.7).
 """
 
-from .mesh import create_mesh, batch_sharding, replicate, replicated, shard_batch  # noqa: F401
+from .mesh import auto_mesh, create_mesh, batch_sharding, replicate, replicated, shard_batch  # noqa: F401

@@ -37,6 +37,15 @@ def create_mesh(
     return Mesh(arr, axis_names)
 
 
+def auto_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Data-axis mesh over the largest device count that divides batch_size."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return create_mesh(shape=(n, 1), devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis batch sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
