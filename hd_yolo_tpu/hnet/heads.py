@@ -1,0 +1,99 @@
+"""hnet task headers: panoptic segmentation + hierarchical confliction loss.
+
+Behavioral reference:
+  * ``PanopticSeg`` (``/root/reference/hnet/segmentation/panoptic_seg.py:3-43``):
+    panoptic connector → 1×1 conv → softmax, soft-dice (soft IoU) loss;
+  * ``ConstrainModule`` (``/root/reference/hnet/hnet.py:18-101``) — the
+    "hierarchical conflict-resolution loss" of the README: a bipartite
+    (seg class, det class) edge set; each detected object's box is projected
+    into the segmentation frame, the seg probability map is ROI-pooled on the
+    box, and P(consistent) = Σ_edges p_area(seg_i)·p_class(det_j) is pushed
+    to 1 with BCE.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.roi_align import roi_align
+from .fpn import PanopticFeatureConnector
+
+Array = jnp.ndarray
+
+
+def soft_iou_loss(probs: Array, onehot: Array, eps: float = 1e-6) -> Array:
+    """1 − soft-IoU, averaged over classes present (panoptic_seg.py:12-22)."""
+    inter = jnp.sum(probs * onehot, axis=(1, 2))
+    union = jnp.sum(probs + onehot, axis=(1, 2)) - inter
+    present = jnp.sum(onehot, axis=(1, 2)) > 0
+    iou = (inter + eps) / (union + eps)
+    num = jnp.sum(jnp.where(present, 1.0 - iou, 0.0))
+    return num / jnp.maximum(jnp.sum(present), 1)
+
+
+class PanopticSegHead(nn.Module):
+    """Panoptic-FPN semantic segmentation header."""
+
+    num_classes: int
+    channels: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: Sequence[Array],
+        targets: Optional[Array] = None,   # (B, H, W) int labels at output stride
+        train: bool = False,
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        x = PanopticFeatureConnector(self.channels, dtype=self.dtype, name="connector")(
+            feats, train
+        )
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="logits")(x)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        losses: Dict[str, Array] = {}
+        if targets is not None:
+            th, tw = probs.shape[1:3]
+            tgt = targets[:, :th, :tw]
+            onehot = jax.nn.one_hot(tgt, self.num_classes)
+            losses["seg_loss"] = soft_iou_loss(probs, onehot)
+        return losses, {"probs": probs, "logits": logits}
+
+
+class ConstrainModule(nn.Module):
+    """Cross-header consistency loss between a seg map and a det header.
+
+    ``edges``: ((seg_class, det_class), ...) pairs considered consistent.
+    """
+
+    edges: Tuple[Tuple[int, int], ...]
+    pool_size: int = 7
+
+    def __call__(
+        self,
+        seg_probs: Array,       # (B, Hs, Ws, n_seg) softmax output
+        det_boxes: Array,       # (B, D, 4) xyxy in the *image* frame
+        det_scores: Array,      # (B, D, n_det) per-class scores (incl. col 0 bg/obj)
+        det_valid: Array,       # (B, D) bool
+        seg_stride: float = 1.0,  # image px per seg cell
+    ) -> Array:
+        """Mean BCE(P_consistent, 1) over valid detections (hnet.py:45-101)."""
+        B, D = det_valid.shape
+
+        def per_image(probs, boxes, scores, valid):
+            pooled = roi_align(
+                probs, boxes, self.pool_size, spatial_scale=1.0 / seg_stride, chunk=128
+            )  # (D, P, P, n_seg)
+            p_area = jnp.mean(pooled, axis=(1, 2))  # (D, n_seg)
+            p = jnp.zeros((D,), jnp.float32)
+            for seg_c, det_c in self.edges:
+                p = p + p_area[:, seg_c] * scores[:, det_c]
+            p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+            bce = -jnp.log(p)
+            return jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+        per = jax.vmap(per_image)(seg_probs, det_boxes, det_scores, det_valid)
+        return jnp.mean(per)

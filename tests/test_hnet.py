@@ -1,0 +1,152 @@
+"""hnet stack: Swin backbone, FPN, MaskRCNN header, panoptic head, HNet
+container with hierarchical confliction loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hd_yolo_tpu.hnet import HNet, SwinTransformer, FeaturePyramidNetwork
+from hd_yolo_tpu.hnet.heads import ConstrainModule, PanopticSegHead, soft_iou_loss
+from hd_yolo_tpu.hnet.mask_rcnn import (
+    MaskRCNN,
+    assign_targets,
+    decode_deltas,
+    encode_deltas,
+    generate_anchors,
+)
+
+
+def test_swin_shapes(rng):
+    m = SwinTransformer(embed_dim=32, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                        window_size=4)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(vars_, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 64), (1, 4, 4, 128), (1, 2, 2, 256)
+    ]
+
+
+def test_swin_shifted_window_grad(rng):
+    """SW-MSA path (block 1) must run and be differentiable."""
+    m = SwinTransformer(embed_dim=16, depths=(2,), num_heads=(2,), window_size=4,
+                        out_indices=(0,))
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda v: jnp.sum(m.apply(v, x)[0] ** 2))(vars_)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    table_grads = [np.abs(np.asarray(l)).sum() for l in leaves]
+    assert sum(g > 0 for g in table_grads) / len(table_grads) > 0.9
+
+
+def test_fpn_shapes(rng):
+    feats = [jnp.zeros((1, 2 ** (5 - i), 2 ** (5 - i), 16 * 2**i)) for i in range(4)]
+    m = FeaturePyramidNetwork(out_channels=32)
+    vars_ = m.init(jax.random.PRNGKey(0), feats)
+    outs = m.apply(vars_, feats)
+    assert [o.shape for o in outs] == [(1, 32, 32, 32), (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32)]
+
+
+def test_anchor_and_delta_roundtrip(rng):
+    anchors = jnp.concatenate(generate_anchors([(4, 4)], [8.0], [32.0]))
+    gt = anchors * jnp.asarray([1.0, 1.0, 1.1, 1.15]) + 3.0
+    deltas = encode_deltas(anchors, gt)
+    back = decode_deltas(anchors, deltas)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gt), rtol=1e-4, atol=1e-3)
+
+
+def test_assign_targets_promotes_best():
+    anchors = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+    gt = jnp.asarray([[102, 102, 112, 112]], jnp.float32)
+    labels, match = assign_targets(anchors, gt, jnp.ones(1, bool), 0.7, 0.3)
+    assert int(labels[1]) == 1  # best anchor promoted despite IoU < 0.7
+    assert int(labels[0]) == 0
+    assert int(match[1]) == 0
+
+
+def test_soft_iou_loss_perfect():
+    probs = jax.nn.one_hot(jnp.zeros((1, 8, 8), jnp.int32), 3)
+    tgt = jax.nn.one_hot(jnp.zeros((1, 8, 8), jnp.int32), 3)
+    assert float(soft_iou_loss(probs[0], tgt[0])) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def hnet_setup():
+    cfg = {
+        "backbone": {"type": "swin", "embed_dim": 32, "depths": [1, 1, 1, 1],
+                     "num_heads": [1, 2, 4, 8], "window_size": 4},
+        "fpn": {"out_channels": 32},
+        "headers": {
+            "det40x": {"type": "maskrcnn", "num_classes": 3, "pre_nms_topk": 128,
+                       "num_proposals": 32, "num_detections": 16,
+                       "anchor_sizes": [16.0, 32.0, 64.0, 128.0]},
+            "seg10x": {"type": "panoptic", "num_classes": 4, "channels": 32},
+        },
+        "constrains": {
+            "c0": {"seg_task": "seg10x", "det_task": "det40x",
+                   "edges": [[1, 1], [2, 2]]},
+        },
+    }
+    model = HNet.from_cfg(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 1, 6
+    x = jnp.asarray(rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32))
+    xy = rng.uniform(0.1, 0.5, (B, T, 2)).astype(np.float32)
+    wh = rng.uniform(0.15, 0.4, (B, T, 2)).astype(np.float32)
+    targets = {
+        "det40x": {
+            "boxes": jnp.asarray(np.concatenate([xy, np.minimum(xy + wh, 1.0)], -1)),
+            "labels": jnp.asarray(rng.integers(1, 4, (B, T))),
+            "masks": jnp.asarray((rng.uniform(0, 1, (B, T, 28, 28)) > 0.5).astype(np.float32)),
+            "valid": jnp.ones((B, T), bool),
+        },
+        "seg10x": {"seg_map": jnp.asarray(rng.integers(0, 4, (B, 16, 16)))},
+    }
+    variables = model.init(jax.random.PRNGKey(0), x, targets, train=False)
+    return model, variables, x, targets
+
+
+@pytest.mark.slow
+def test_hnet_train_losses(hnet_setup):
+    model, variables, x, targets = hnet_setup
+    losses, outputs = model.apply(variables, x, targets, train=False)
+    det_l = losses["det40x"]
+    for k in ("rpn_obj_loss", "rpn_reg_loss", "roi_cls_loss", "roi_reg_loss", "mask_loss"):
+        assert np.isfinite(float(det_l[k])), k
+    assert np.isfinite(float(losses["seg10x"]["seg_loss"]))
+    assert "constrains" in losses and np.isfinite(float(losses["constrains"]["c0"]))
+    # outputs present in val mode
+    assert outputs["det40x"]["boxes"].shape == (1, 16, 4)
+    assert outputs["det40x"]["masks"].shape == (1, 16, 28, 28)
+    assert outputs["seg10x"]["probs"].shape == (1, 16, 16, 4)
+
+
+@pytest.mark.slow
+def test_hnet_grads_dense(hnet_setup):
+    model, variables, x, targets = hnet_setup
+
+    def loss_fn(params):
+        losses, _ = model.apply({"params": params}, x, targets, train=False)
+        return model.total_loss(losses)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    bad = [jax.tree_util.keystr(k) for k, g in flat if not np.isfinite(np.asarray(g)).all()]
+    assert not bad, bad[:5]
+    nz = sum(bool(np.abs(np.asarray(g)).sum() > 0) for _, g in flat)
+    assert nz / len(flat) > 0.8, f"only {nz}/{len(flat)} leaves with grads"
+
+
+@pytest.mark.slow
+def test_hnet_inference_only(hnet_setup):
+    model, variables, x, _ = hnet_setup
+    losses, outputs = model.apply(variables, x, train=False)
+    assert losses["det40x"] == {}
+    o = outputs["det40x"]
+    lab = np.asarray(o["labels"])
+    v = np.asarray(o["valid"])
+    assert np.all(lab[~v] == -100)
+    if v.any():
+        assert set(np.unique(lab[v])) <= {1, 2, 3}
