@@ -8,8 +8,10 @@ trunk (the reference's deployment bench is CPU ``time_per_image``,
 torchvision/torch_scatter are absent — so the baseline is the FLOPs-matched
 torch mirror in hd_yolo_tpu/utils/torch_baseline.py).
 
-Timing note: jax's async dispatch over the axon tunnel makes block_until_ready
-unreliable; every timed call fetches a scalar to host.
+Timing note: the axon tunnel adds ~29 ms fixed overhead per dispatch+fetch
+(measured: a trivial jitted add costs the same as a full trunk forward), so
+the benchmark loops N forwards *inside one jit* via lax.scan with a
+data-dependent perturbation (defeats CSE) and fetches once.
 """
 
 import json
@@ -41,21 +43,25 @@ def main():
     )
     jax.block_until_ready(variables)
 
-    fwd = jax.jit(
-        lambda v, x: jax.tree.reduce(
-            lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
-            model.apply(v, x, train=False, compute_masks=compute_masks)[1],
-            0.0,
-        )
-    )
+    n_iter = int(os.environ.get("BENCH_ITERS", 10))
+
+    @jax.jit
+    def loop(v, x):
+        def body(carry, _):
+            out = model.apply(
+                v, x + carry * 1e-6, train=False, compute_masks=compute_masks
+            )[1]
+            s = jax.tree.reduce(lambda a, b: a + jnp.sum(b.astype(jnp.float32)), out, 0.0)
+            return s * 1e-9, None
+        c, _ = jax.lax.scan(body, 0.0, None, length=n_iter)
+        return c.reshape(1)
+
     rng = np.random.default_rng(0)
     xb = jnp.asarray(rng.uniform(0, 1, (batch, img, img, 3)).astype(np.float32))
 
-    float(fwd(variables, xb))  # compile + warm
-    n_iter = int(os.environ.get("BENCH_ITERS", 20))
+    float(loop(variables, xb)[0])  # compile + warm
     t0 = time.time()
-    for _ in range(n_iter):
-        float(fwd(variables, xb))  # host fetch forces completion
+    float(loop(variables, xb)[0])  # one dispatch, n_iter forwards
     dt = (time.time() - t0) / n_iter
     tiles_per_sec = batch / dt
 
