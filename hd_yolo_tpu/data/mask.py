@@ -18,9 +18,21 @@ import cv2
 import numpy as np
 
 
+def _native():
+    try:
+        from .. import native as _n
+
+        return _n if _n.available() else None
+    except Exception:
+        return None
+
+
 def rle_encode(mask: np.ndarray) -> Dict[str, object]:
     """Binary (h, w) mask → COCO uncompressed RLE {'size': [h, w], 'counts': [...]}."""
     h, w = mask.shape
+    n = _native()
+    if n is not None:
+        return {"size": [h, w], "counts": n.rle_encode(mask.astype(np.uint8))}
     flat = np.asfortranarray(mask.astype(bool)).reshape(-1, order="F").astype(np.int8)
     changes = np.flatnonzero(np.diff(flat))
     idx = np.concatenate([[0], changes + 1, [len(flat)]])
@@ -32,6 +44,9 @@ def rle_encode(mask: np.ndarray) -> Dict[str, object]:
 
 def rle_decode(rle: Dict[str, object]) -> np.ndarray:
     h, w = rle["size"]
+    n = _native()
+    if n is not None:
+        return n.rle_decode(list(rle["counts"]), h, w)
     counts = np.asarray(rle["counts"], np.int64)
     vals = np.zeros(len(counts), np.uint8)
     vals[1::2] = 1
