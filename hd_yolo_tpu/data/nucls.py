@@ -1,0 +1,226 @@
+"""NuCLS breast-cancer nuclei dataset: class maps + converters.
+
+Behavioral reference: ``/root/reference/dataset_builder.py:24-136`` (class
+transfer map, label/color/text tables, slide-id fold splits) and
+``utils_nucls.py:115-190`` (per-FOV csv parsing: group label, xyxy box,
+polyline mask coords), plus the exporters ``convert_nucls_dataset.py`` /
+``convert_to_coco.py``.
+
+Outputs the native index format consumed by ``data.dataset.DetectionDataset``:
+one ``.npz`` per FOV ({boxes, labels, masks, size}) + an ``index.csv`` +
+``data.yaml`` with per-task ``meta_info``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import LOGGER
+from ..config import save_cfg
+
+CLASSES = [
+    "tumor nuclei", "stroma nuclei", "lymphocyte nuclei",
+    "macrophage nuclei", "dead nuclei", "ductal epithelium", "blood cell",
+]
+
+CLASSES_TRANSFER_MAP = {
+    "apoptotic_body": "dead nuclei", "correction_apoptotic_body": "dead nuclei",
+    "fibroblast": "stroma nuclei", "correction_fibroblast": "stroma nuclei",
+    "lymphocyte": "lymphocyte nuclei", "correction_lymphocyte": "lymphocyte nuclei",
+    "macrophage": "macrophage nuclei", "correction_macrophage": "macrophage nuclei",
+    "mitotic_figure": "tumor nuclei", "correction_mitotic_figure": "tumor nuclei",
+    "plasma_cell": "lymphocyte nuclei", "correction_plasma_cell": "lymphocyte nuclei",
+    "tumor": "tumor nuclei", "correction_tumor": "tumor nuclei",
+    "unlabeled": "unlabeled", "correction_unlabeled": "unlabeled",
+    "ductal_epithelium": "ductal epithelium",
+    "eosinophil": "lymphocyte nuclei",
+    "myoepithelium": "stroma nuclei",
+    "neutrophil": "lymphocyte nuclei",
+    "vascular_endothelium": "stroma nuclei",
+    "blood_cell": "blood cell", "blood": "blood cell",
+}
+
+# text → int label; unlabeled → −100 (ignore_index convention)
+VAL_TO_LABEL: Dict[str, int] = {}
+for k, v in {**CLASSES_TRANSFER_MAP, **{c: c for c in CLASSES}}.items():
+    lab = CLASSES.index(v) + 1 if v in CLASSES else -100
+    VAL_TO_LABEL[" ".join(k.split("_"))] = lab
+    VAL_TO_LABEL["_".join(k.split(" "))] = lab
+
+LABELS_TEXT = {**{i + 1: c for i, c in enumerate(CLASSES)}, -100: "unlabeled"}
+LABELS_COLOR = {
+    1: [255, 0, 0], 2: [0, 255, 0], 3: [0, 0, 255], 4: [255, 255, 0],
+    5: [255, 0, 255], 6: [100, 0, 255], 7: [0, 255, 255], -100: [148, 148, 148],
+}
+
+EXCLUDE_SLIDE_IDS = [
+    "TCGA-A1-A0SP-DX1", "TCGA-A7-A0DA-DX1", "TCGA-AR-A1AR-DX1",
+    "TCGA-C8-A12V-DX1", "TCGA-E2-A158-DX1",
+]
+
+
+def get_slide_id(image_id: str, source: str = "trainval") -> str:
+    """dataset_builder.py:100-107."""
+    assert source in ("test", "trainval")
+    if source == "trainval":
+        return image_id.split("_")[0]
+    tmp = image_id.split("_")[1].split("-")
+    return "-".join([tmp[0], tmp[1], tmp[2], tmp[5]])
+
+
+def parse_fov_csv(csv_path: str) -> Dict[str, object]:
+    """One NuCLS FOV gt csv → {boxes, labels(int), masks(poly|None)}
+    (utils_nucls.py:132-147 parsing)."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path, index_col=0)
+    boxes = df[["xmin", "ymin", "xmax", "ymax"]].values.astype(np.float32)
+    labels = np.asarray(
+        [VAL_TO_LABEL.get(str(g), -100) for g in df["group"].values], np.int64
+    )
+    masks: List[Optional[np.ndarray]] = []
+    for _, entry in df[["type", "coords_x", "coords_y"]].iterrows():
+        if entry["type"] == "polyline":
+            xs = [float(v) for v in str(entry["coords_x"]).split(",")]
+            ys = [float(v) for v in str(entry["coords_y"]).split(",")]
+            if len(np.unique(xs)) < 4:  # corrupt polyline annotations
+                masks.append(None)
+            else:
+                masks.append(np.stack([xs, ys], axis=-1).astype(np.float32))
+        else:
+            masks.append(None)
+    return {"boxes": boxes, "labels": labels, "masks": masks}
+
+
+def read_fold_slides(split_folder: str, fold: int) -> Tuple[set, set]:
+    """Train/val slide-name sets for a fold (dataset_builder.py:110-122)."""
+    import pandas as pd
+
+    tr = pd.read_csv(os.path.join(split_folder, f"fold_{fold}_train.csv"), index_col=0)
+    va = pd.read_csv(os.path.join(split_folder, f"fold_{fold}_test.csv"), index_col=0)
+    return set(tr["slide_name"]), set(va["slide_name"])
+
+
+def convert_nucls_dataset(
+    data_folder: str,
+    out_folder: str,
+    fold: int = 1,
+    task_id: str = "detSC",
+    image_size_hint: Tuple[int, int] = (0, 0),
+) -> Dict[str, str]:
+    """NuCLS trainval layout (rgb/ + csv/ + train_test_splits/) → native format.
+
+    Emits ``{out}/anns/*.npz``, ``{out}/{train,val}.csv`` indices and
+    ``{out}/data.yaml``; returns the paths dict.
+    """
+    import cv2
+    import pandas as pd
+
+    rgb = os.path.join(data_folder, "rgb")
+    gt = os.path.join(data_folder, "csv")
+    splits = os.path.join(data_folder, "train_test_splits")
+    train_slides, val_slides = read_fold_slides(splits, fold)
+
+    ann_dir = os.path.join(out_folder, "anns")
+    os.makedirs(ann_dir, exist_ok=True)
+    rows = {"train": [], "val": []}
+    fovs = sorted(f[:-4] for f in os.listdir(gt) if f.endswith(".csv")
+                  and not f.startswith("ALL_"))
+    for fov in fovs:
+        slide = get_slide_id(fov)
+        if slide in EXCLUDE_SLIDE_IDS:
+            continue
+        split = "train" if slide in train_slides else ("val" if slide in val_slides else None)
+        if split is None:
+            continue
+        img_path = os.path.join(rgb, f"{fov}.png")
+        if not os.path.exists(img_path):
+            LOGGER.warning(f"missing image for {fov}")
+            continue
+        ann = parse_fov_csv(os.path.join(gt, f"{fov}.csv"))
+        img = cv2.imread(img_path)
+        size = img.shape[:2] if img is not None else image_size_hint
+        masks_obj = np.empty(len(ann["masks"]), object)
+        for i, m in enumerate(ann["masks"]):
+            masks_obj[i] = [m] if m is not None else []
+        npz_path = os.path.join(ann_dir, f"{fov}.npz")
+        np.savez(npz_path, boxes=ann["boxes"], labels=ann["labels"],
+                 masks=masks_obj, size=np.asarray(size))
+        rows[split].append(
+            dict(image_path=os.path.relpath(img_path, out_folder),
+                 image_id=fov, ann_id=f"{fov}_{task_id}",
+                 ann_path=os.path.relpath(npz_path, out_folder),
+                 task_id=task_id, mask_mode="poly")
+        )
+
+    paths = {}
+    for split, rws in rows.items():
+        p = os.path.join(out_folder, f"{split}.csv")
+        pd.DataFrame(rws).to_csv(p, index=False)
+        paths[split] = p
+        LOGGER.info(f"{split}: {len(rws)} FOVs")
+    data_yaml = os.path.join(out_folder, "data.yaml")
+    save_cfg(
+        {
+            "train": paths["train"], "val": paths["val"], "tasks": [task_id],
+            "meta_info": {task_id: {"labels_text": LABELS_TEXT,
+                                    "labels_color": LABELS_COLOR}},
+        },
+        data_yaml,
+    )
+    paths["data"] = data_yaml
+    return paths
+
+
+def convert_to_coco(index_csv: str, out_json: str, root: Optional[str] = None):
+    """Native index → COCO detection json (convert_to_coco.py semantics)."""
+    import pandas as pd
+
+    from .dataset import load_annotation_file
+    from .mask import Mask
+
+    root = root or os.path.dirname(index_csv)
+    df = pd.read_csv(index_csv)
+    images, annotations = [], []
+    ann_id = 1
+    image_ids = {}
+    for _, row in df.iterrows():
+        if row["image_id"] not in image_ids:
+            image_ids[row["image_id"]] = len(image_ids) + 1
+            images.append({"id": image_ids[row["image_id"]],
+                           "file_name": row["image_path"]})
+        img_id = image_ids[row["image_id"]]
+        raw = load_annotation_file(os.path.join(root, row["ann_path"]))
+        size = tuple(int(s) for s in np.asarray(raw["size"]).reshape(-1)[:2])
+        boxes = np.asarray(raw["boxes"], np.float32).reshape(-1, 4)
+        labels = np.asarray(raw["labels"]).reshape(-1)
+        masks = list(raw.get("masks", [None] * len(boxes)))
+        for i, (b, l) in enumerate(zip(boxes, labels)):
+            a = {
+                "id": ann_id, "image_id": img_id, "category_id": int(l),
+                "bbox": [float(b[0]), float(b[1]), float(b[2] - b[0]), float(b[3] - b[1])],
+                "area": float((b[2] - b[0]) * (b[3] - b[1])),
+                "iscrowd": 0,
+            }
+            m = masks[i] if i < len(masks) else None
+            if m is not None and len(np.atleast_1d(m)):
+                mask = Mask(m, size, str(row.get("mask_mode", "poly")))
+                a["segmentation"] = {
+                    k: (v if k == "size" else list(v))
+                    for k, v in mask.rle().data.items()
+                }
+            annotations.append(a)
+            ann_id += 1
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": i + 1, "name": c} for i, c in enumerate(CLASSES)],
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_json)), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(coco, f)
+    return coco
