@@ -71,6 +71,8 @@ class DetectionDataset:
         self.img_size = int(self.hyp.get("img_size", 640))
         self.patch_size = int(self.hyp.get("patch_size", self.img_size))
         self.k_mosaic = int(self.hyp.get("k_mosaic", 2)) if train else 1
+        self.keep_res = float(self.hyp.get("keep_res", -1))
+        self.border = int(self.hyp.get("border", 10))
 
         self.root = root or "./"
         if isinstance(data, str):
@@ -159,6 +161,55 @@ class DetectionDataset:
         return img, out
 
     @staticmethod
+    def _rescale(img: np.ndarray, anns: Dict[str, Ann], scale: float):
+        """Scale by a fixed factor (keep_res µm/px semantics, datasets.py:668-676)."""
+        h, w = img.shape[:2]
+        nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+        if (nh, nw) == (h, w):
+            return img, anns
+        sy, sx = nh / h, nw / w
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        out = {}
+        for task, a in anns.items():
+            boxes = np.asarray(a["boxes"], np.float32) * [sx, sy, sx, sy]
+            masks = [m.rescale(sy, sx, (nh, nw)) if m is not None else None
+                     for m in a.get("masks", [None] * len(boxes))]
+            out[task] = {"boxes": boxes, "labels": np.asarray(a["labels"]), "masks": masks}
+        return img, out
+
+    def _pad_or_crop(self, img: np.ndarray, anns: Dict[str, Ann], size: int,
+                     pos: str = "center", cval: int = 114):
+        """Pad and/or crop to a square ``size`` keeping annotations consistent
+        (pad/crop_image_target_if_needed, datasets.py:117-220 semantics)."""
+        h, w = img.shape[:2]
+        # pad if needed
+        ph, pw = max(size - h, 0), max(size - w, 0)
+        if ph or pw:
+            if pos == "random":
+                top = random.randint(0, ph)
+                left = random.randint(0, pw)
+            else:
+                top, left = ph // 2, pw // 2
+            canvas = np.full((max(h + ph, size), max(w + pw, size), 3), cval, img.dtype)
+            canvas[top : top + h, left : left + w] = img
+            img = canvas
+            anns = self._shift(anns, top, left, img.shape[:2])
+            h, w = img.shape[:2]
+        # crop if needed
+        ch, cw = max(h - size, 0), max(w - size, 0)
+        if ch or cw:
+            if pos == "random":
+                y0 = random.randint(0, ch)
+                x0 = random.randint(0, cw)
+            else:
+                y0, x0 = ch // 2, cw // 2
+            img = img[y0 : y0 + size, x0 : x0 + size]
+            anns = self._shift(anns, -y0, -x0, (size, size))
+            for a in anns.values():
+                a["boxes"] = np.clip(a["boxes"], 0, [size, size, size, size])
+        return np.ascontiguousarray(img), anns
+
+    @staticmethod
     def _shift(anns: Dict[str, Ann], dy: int, dx: int, size) -> Dict[str, Ann]:
         out = {}
         for task, a in anns.items():
@@ -174,7 +225,11 @@ class DetectionDataset:
             img, anns = self._train_sample(idx)
         else:
             img, anns = self.load_image_and_target(idx)
-            img, anns = self._resize(img, anns, self.img_size)
+            if self.keep_res > 0:  # fixed µm/px: rescale + center pad/crop
+                img, anns = self._rescale(img, anns, self.keep_res)
+                img, anns = self._pad_or_crop(img, anns, self.img_size, pos="center")
+            else:
+                img, anns = self._resize(img, anns, self.img_size)
         return self._to_padded(img, anns)
 
     def _train_sample(self, idx: int):
@@ -188,7 +243,11 @@ class DetectionDataset:
         for rc, img_idx in enumerate(indices):
             r, c = rc // k, rc % k
             img, anns = self.load_image_and_target(img_idx)
-            img, anns = self._resize(img, anns, size)
+            if self.keep_res > 0:  # resolution-preserving tile prep
+                img, anns = self._rescale(img, anns, self.keep_res)
+                img, anns = self._pad_or_crop(img, anns, size, pos="random")
+            else:
+                img, anns = self._resize(img, anns, size)
             img, anns = _apply_train_proc(img, anns, self.hyp)
             canvas[r * size : (r + 1) * size, c * size : (c + 1) * size] = img
             shifted = self._shift(anns, r * size, c * size, (k * size, k * size))

@@ -40,12 +40,18 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.9999):
+def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.9999,
+                    train_flag: bool = True):
     """Build the jittable train step.
 
     batch = {'image': (B, H, W, 3), 'targets': {task: {boxes, labels, masks,
     valid[, active]}}}.  Under a mesh, shard batch leaves over 'data' and
     replicate state — jit partitions the rest.
+
+    ``train_flag=False`` runs the model's validation-mode forward (losses AND
+    outputs) inside the step — needed when a loss consumes inference outputs,
+    e.g. HNet's cross-header confliction loss (the reference's double
+    inference+loss pass, hnet/detection/mask_rcnn.py:419-455).
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -53,17 +59,20 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
             {"params": params, "batch_stats": batch_stats},
             batch["image"],
             batch["targets"],
-            train=True,
+            train=train_flag,
             compute_masks=mask_weight > 0,
             mutable=["batch_stats"],
         )
         total = model.total_loss(losses, mask_weight)
-        items = {
-            f"{task}/{k}": v
-            for task, tl in losses.items()
-            for k, v in tl["loss_items"].items()
-        }
-        return total, (mutated["batch_stats"], items)
+        items = {}
+        for task, tl in losses.items():
+            sub = tl.get("loss_items") if isinstance(tl, dict) else None
+            if sub is None:  # headers reporting flat scalar losses (hnet)
+                sub = {k: v for k, v in tl.items()} if isinstance(tl, dict) else {}
+            for k, v in sub.items():
+                if hasattr(v, "ndim") and v.ndim == 0:
+                    items[f"{task}/{k}"] = jax.lax.stop_gradient(v)
+        return total, (mutated.get("batch_stats", batch_stats), items)
 
     @jax.jit
     def train_step(state: TrainState, batch) -> tuple:

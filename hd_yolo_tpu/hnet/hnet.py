@@ -169,7 +169,8 @@ class HNet(nn.Module):
         x: Array,
         targets: Optional[Dict[str, Dict[str, Array]]] = None,
         train: bool = False,
-    ):
+        compute_masks: bool = True,  # accepted for engine compatibility; masks
+    ):                               # are governed by per-header with_masks
         H, W = x.shape[1:3]
         feats = self.backbone(x, train=train)
         feats = self.fpn(feats, train=train)
@@ -209,9 +210,10 @@ class HNet(nn.Module):
                     )
         return losses, outputs
 
-    def total_loss(self, losses: Dict[str, Dict[str, Array]]) -> Array:
+    def total_loss(self, losses: Dict[str, Dict[str, Array]], mask_weight: float = 1.0) -> Array:
         total = 0.0
-        for task_losses in losses.values():
-            for v in task_losses.values():
-                total = total + v
+        for task, task_losses in losses.items():
+            for k, v in task_losses.items():
+                w = mask_weight if "mask" in k else 1.0
+                total = total + w * v
         return total

@@ -75,6 +75,7 @@ class HeaderSpec:
     loss_hyp: Tuple[Tuple[str, Any], ...]
     default_input_size: Optional[int] = 640
     amplification: Optional[float] = None
+    kind: str = "detect"                   # 'detect' (anchor) | 'anchor_free'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,8 +113,11 @@ def parse_model_cfg(cfg, hyp) -> NetworkSpec:
 
         section = "backbone" if i < n_backbone else ("fpn" if i < n_backbone + n_fpn else "header")
 
-        if m == "Detect":
+        if m in ("Detect", "AFDetect"):
             in_ch = tuple(ch[x] for x in f)
+            if m == "AFDetect":  # anchor-free rows: [strides, nc] (no anchors)
+                anchors = [[0, 0]] * len(f)
+                args = [anchors] + list(args)
             anchors = args[0]
             if isinstance(anchors, int):  # anchor-free placeholder (yolov5.py:101-102)
                 anchors = [list(range(anchors * 2))] * len(f)
@@ -147,6 +151,7 @@ def parse_model_cfg(cfg, hyp) -> NetworkSpec:
                     loss_hyp=_freeze(loss_hyp),
                     default_input_size=default_input_size,
                     amplification=h_amp,
+                    kind="anchor_free" if m == "AFDetect" else "detect",
                 )
             )
             save.extend(x % i for x in f)

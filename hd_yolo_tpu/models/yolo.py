@@ -80,17 +80,29 @@ class Model(nn.Module):
             else:
                 mods.append(klass(*l.args, **kwargs))
         self.blocks = mods
-        self.headers = {
-            h.tag: Detect(
-                spec=h,
-                dtype=self.dtype,
-                pre_nms_topk=self.pre_nms_topk,
-                max_masks=self.max_masks,
-                mask_rois=self.mask_rois,
-                name=f"header_{h.tag}",
-            )
-            for h in self.spec.headers
-        }
+        headers = {}
+        for h in self.spec.headers:
+            if h.kind == "anchor_free":
+                from .anchor_free_head import AnchorFreeDetect
+
+                headers[h.tag] = AnchorFreeDetect(
+                    nc=h.nc,
+                    strides=h.strides,
+                    nms_params=h.nms_params or AnchorFreeDetect.nms_params,
+                    pre_nms_topk=self.pre_nms_topk,
+                    dtype=self.dtype,
+                    name=f"header_{h.tag}",
+                )
+            else:
+                headers[h.tag] = Detect(
+                    spec=h,
+                    dtype=self.dtype,
+                    pre_nms_topk=self.pre_nms_topk,
+                    max_masks=self.max_masks,
+                    mask_rois=self.mask_rois,
+                    name=f"header_{h.tag}",
+                )
+        self.headers = headers
 
     @property
     def task_ids(self) -> List[str]:

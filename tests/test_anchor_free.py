@@ -1,0 +1,93 @@
+"""Anchor-free head: SimOTA assignment properties + head forward/loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hd_yolo_tpu.models.anchor_free_head import (
+    AnchorFreeDetect,
+    make_cell_centers,
+    simota_assign,
+)
+
+
+def test_cell_centers():
+    centers, strides = make_cell_centers([(2, 2), (1, 1)], [8.0, 16.0])
+    assert centers.shape == (5, 2)
+    np.testing.assert_allclose(np.asarray(centers[0]), [4.0, 4.0])
+    np.testing.assert_allclose(np.asarray(centers[4]), [8.0, 8.0])
+    assert float(strides[4]) == 16.0
+
+
+def test_simota_assigns_best_cell():
+    centers, strides = make_cell_centers([(8, 8)], [8.0])
+    N = centers.shape[0]
+    # one gt box at cells (2..4); predictions perfectly matching it at cell 18
+    gt = jnp.asarray([[16.0, 16.0, 40.0, 40.0]])
+    pred = jnp.tile(jnp.asarray([[0.0, 0.0, 8.0, 8.0]]), (N, 1))
+    pred = pred.at[18].set(jnp.asarray([16.0, 16.0, 40.0, 40.0]))
+    cls_logits = jnp.zeros((N, 3))
+    obj = jnp.zeros((N,))
+    best_gt, fg, m_iou = simota_assign(
+        pred, cls_logits, obj, centers, strides, gt, jnp.asarray([1]), jnp.ones(1, bool)
+    )
+    fg = np.asarray(fg)
+    assert fg[18]  # the perfect cell is foreground
+    assert float(m_iou[18]) == pytest.approx(1.0)
+    # no assignments to cells far outside the center prior
+    assert not fg[0]
+
+
+def test_simota_no_valid_gt():
+    centers, strides = make_cell_centers([(4, 4)], [8.0])
+    N = centers.shape[0]
+    best_gt, fg, m_iou = simota_assign(
+        jnp.zeros((N, 4)), jnp.zeros((N, 2)), jnp.zeros((N,)),
+        centers, strides, jnp.zeros((3, 4)), jnp.ones((3,), jnp.int32),
+        jnp.zeros(3, bool),
+    )
+    assert not np.asarray(fg).any()
+
+
+@pytest.mark.slow
+def test_anchor_free_head_end_to_end(rng):
+    head = AnchorFreeDetect(nc=4, strides=(8.0, 16.0, 32.0), width=32, pre_nms_topk=128)
+    feats = [
+        jnp.asarray(rng.standard_normal((2, 16 // (2**i), 16 // (2**i), 32)).astype(np.float32))
+        for i in range(3)
+    ]
+    B, T = 2, 6
+    xy = rng.uniform(0.1, 0.6, (B, T, 2)).astype(np.float32)
+    wh = rng.uniform(0.1, 0.3, (B, T, 2)).astype(np.float32)
+    targets = {
+        "boxes": jnp.asarray(np.concatenate([xy, np.minimum(xy + wh, 1.0)], -1)),
+        "labels": jnp.asarray(rng.integers(1, 5, (B, T))),
+        "valid": jnp.ones((B, T), bool),
+    }
+    variables = head.init(jax.random.PRNGKey(0), feats, targets, train=True)
+    (losses, _), _ = head.apply(variables, feats, targets, train=True, mutable=["batch_stats"])
+    assert np.isfinite(float(losses["det_loss"]))
+    for k in ("obj", "cls", "box"):
+        assert np.isfinite(float(losses["loss_items"][k]))
+
+    # grads flow everywhere
+    def loss_fn(params):
+        (l, _), _ = head.apply(
+            {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+            feats, targets, train=True, mutable=["batch_stats"],
+        )
+        return l["det_loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    assert all(np.isfinite(np.asarray(g)).all() for _, g in flat)
+    nz = sum(bool(np.abs(np.asarray(g)).sum() > 0) for _, g in flat)
+    assert nz / len(flat) > 0.9
+
+    # inference outputs
+    _, out = head.apply(variables, feats, train=False)
+    assert out["boxes"].shape == (2, 300, 4)
+    lab = np.asarray(out["labels"])
+    v = np.asarray(out["valid"])
+    assert np.all(lab[~v] == -100)
