@@ -84,6 +84,25 @@ def _unpad_output(out: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
     return res
 
 
+def paste_for_mask_eval(entry: Dict[str, np.ndarray], im_h: int, im_w: int,
+                        thresh: float = 0.5) -> Dict[str, np.ndarray]:
+    """In-box (N, M, M) masks + boxes → full-frame binary masks for mask-IoU
+    scoring (the paste_masks_in_image role in val_nuclei.py:162-176)."""
+    from ..ops.paste import paste_masks_in_image
+
+    out = dict(entry)
+    if "masks" in entry and len(entry["masks"]):
+        import jax.numpy as jnp
+
+        pasted = paste_masks_in_image(
+            jnp.asarray(entry["masks"], jnp.float32),
+            jnp.asarray(entry["boxes"], jnp.float32),
+            im_h, im_w,
+        )
+        out["masks"] = np.asarray(pasted) >= thresh
+    return out
+
+
 def _unpad_target(t: Dict[str, np.ndarray], i: int) -> Dict[str, np.ndarray]:
     v = np.asarray(t["valid"][i])
     res = {
@@ -152,6 +171,9 @@ def run(
                 t["boxes"] = np.asarray(t["boxes"], np.float64) * [w, h, w, h]
                 if np.asarray(t["labels"]).ndim == 2:
                     t = flatten_onehot_objects(t)
+                if iou_type == "masks":
+                    o = paste_for_mask_eval(o, int(h), int(w))
+                    t = paste_for_mask_eval(t, int(h), int(w))
                 meters[task_id].add(o, t, iou_type=iou_type)
         dt[2] += time.time() - t0
         t_last = time.time()

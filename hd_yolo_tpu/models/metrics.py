@@ -82,6 +82,8 @@ def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def get_mask_ious(y_true: np.ndarray, y_pred: np.ndarray) -> np.ndarray:
     """(n, h, w) × (m, h, w) mask-IoU matrix (utils_nucls.py:480-490)."""
+    if len(y_true) == 0 or len(y_pred) == 0:
+        return np.zeros((len(y_true), len(y_pred)))
     t = y_true.reshape(len(y_true), -1).astype(np.float64)
     p = y_pred.reshape(len(y_pred), -1).astype(np.float64)
     inter = t @ p.T

@@ -1,0 +1,97 @@
+"""Multi-head (multi-task) model + mask-IoU validation path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hd_yolo_tpu.models import Model, parse_model_cfg
+from hd_yolo_tpu.engines import val as val_engine
+
+from test_model import make_targets
+
+
+def test_multihead_spec():
+    spec = parse_model_cfg("yolov5s-multihead-test", "hyp-nuclei")
+    tags = [h.tag for h in spec.headers]
+    assert tags == ["det", "detSC"]
+    assert spec.headers[0].nc == 7 and spec.headers[1].nc == 4
+    # both headers share the same trunk save points
+    assert spec.headers[0].from_idx == spec.headers[1].from_idx
+
+
+@pytest.mark.slow
+def test_multihead_train_and_infer():
+    m = Model.from_cfg(
+        "yolov5s-multihead-test", "hyp-nuclei", mask_rois=4, max_masks=8, pre_nms_topk=64
+    )
+    rng = np.random.default_rng(0)
+    B, T = 2, 8
+    x = jnp.asarray(rng.uniform(0, 1, (B, 128, 128, 3)).astype(np.float32))
+    targets = {
+        **make_targets(rng, B, T, 7, task="det"),
+        **make_targets(rng, B, T, 4, task="detSC"),
+    }
+    # task 'det' only active on image 0, 'detSC' only on image 1
+    v0 = np.asarray(targets["det"]["valid"]).copy(); v0[1] = False
+    v1 = np.asarray(targets["detSC"]["valid"]).copy(); v1[0] = False
+    targets["det"]["valid"] = jnp.asarray(v0)
+    targets["detSC"]["valid"] = jnp.asarray(v1)
+
+    variables = m.init(jax.random.PRNGKey(0), x, targets, train=True, compute_masks=True)
+
+    def loss_fn(params):
+        (losses, _), _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, targets, train=True, compute_masks=True, mutable=["batch_stats"],
+        )
+        return m.total_loss(losses), losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(total))
+    for tag in ("det", "detSC"):
+        assert np.isfinite(float(losses[tag]["det_loss"])), tag
+    # trunk gets gradient from BOTH headers; each header only from its own loss
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    bad = [jax.tree_util.keystr(k) for k, g in flat if not np.isfinite(np.asarray(g)).all()]
+    assert not bad
+    trunk_nz = [np.abs(np.asarray(g)).sum() > 0 for k, g in flat
+                if "blocks_0" in jax.tree_util.keystr(k)]
+    assert all(trunk_nz)
+
+    _, out = m.apply(variables, x, train=False, compute_masks=True)
+    assert set(out.keys()) == {"det", "detSC"}
+    assert out["det"]["score_vector"].shape[-1] == 8   # 1+7
+    assert out["detSC"]["score_vector"].shape[-1] == 5  # 1+4
+
+
+@pytest.mark.slow
+def test_val_mask_iou_type():
+    m = Model.from_cfg("yolov5s-test", "hyp-nuclei", mask_rois=4, max_masks=8, pre_nms_topk=64)
+    rng = np.random.default_rng(1)
+    x0 = jnp.zeros((2, 128, 128, 3))
+    targets = make_targets(rng, 2, 8, 4)
+    variables = m.init(jax.random.PRNGKey(0), x0, targets, train=True, compute_masks=True)
+
+    def data_iter():
+        r = np.random.default_rng(2)
+        imgs = r.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+        yield imgs, jax.tree.map(np.asarray, make_targets(r, 2, 8, 4))
+
+    fitness, stats, _ = val_engine.run(
+        m, variables, data_iter(), compute_masks=True, iou_type="masks", verbose=False
+    )
+    assert np.isfinite(fitness)
+    assert "det" in stats
+
+
+def test_paste_for_mask_eval():
+    entry = {
+        "boxes": np.array([[8.0, 8.0, 24.0, 24.0]]),
+        "masks": np.ones((1, 28, 28), np.float32),
+        "labels": np.array([1]),
+    }
+    out = val_engine.paste_for_mask_eval(entry, 32, 32)
+    m = out["masks"][0]
+    assert m.dtype == bool and m.shape == (32, 32)
+    assert m[16, 16] and not m[2, 2]

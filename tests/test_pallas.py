@@ -1,0 +1,31 @@
+"""Pallas fused ROI-align: interpret-mode parity vs the XLA formulation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hd_yolo_tpu.ops.pallas_roi_align import roi_align_pallas
+from hd_yolo_tpu.ops.roi_align import roi_align
+
+
+def test_pallas_roi_align_matches_xla(rng):
+    B, H, W, C, K = 2, 32, 32, 8, 10
+    f = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    xy = rng.uniform(0, 200, (B, K, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + rng.uniform(10, 60, (B, K, 2))], -1))
+    got = np.asarray(roi_align_pallas(f, boxes, 7, spatial_scale=1 / 8.0, interpret=True))
+    want = np.asarray(
+        jax.vmap(lambda ff, bb: roi_align(ff, bb, 7, spatial_scale=1 / 8.0))(f, boxes)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_roi_align_pads_rois(rng):
+    """K not divisible by kchunk → internal padding, clean trim."""
+    f = jnp.asarray(rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+    boxes = jnp.asarray([[[2.0, 2.0, 10.0, 10.0], [0.0, 0.0, 16.0, 16.0],
+                          [4.0, 4.0, 6.0, 6.0]]])
+    out = np.asarray(roi_align_pallas(f, boxes, 4, kchunk=4, interpret=True))
+    assert out.shape == (1, 3, 4, 4, 8)
+    want = np.asarray(roi_align(f[0], boxes[0], 4))
+    np.testing.assert_allclose(out[0], want, rtol=1e-5, atol=1e-5)
