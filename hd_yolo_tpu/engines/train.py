@@ -105,6 +105,17 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         data_info["val"], {"img_size": opt.img_size},
         train=False, max_targets=opt.max_targets,
     )
+    if opt.autoanchor:
+        from .autoanchor import check_anchors, dataset_wh
+
+        wh = dataset_wh(val_ds, img_size=opt.img_size, max_images=64)
+        if len(wh):
+            for h in spec0.headers:
+                if any(a for row in h.anchors for a in row):
+                    check_anchors(wh, h.anchors, h.strides,
+                                  anchor_t=float(dict(h.loss_hyp).get("anchor_t", 4.0)),
+                                  imgsz=opt.img_size)
+
     train_dl = DataLoader(train_ds, opt.batch_size, workers=opt.workers, infinite=True)
     val_dl = DataLoader(val_ds, opt.batch_size, workers=opt.workers, shuffle=False,
                         drop_last=False)
@@ -218,6 +229,8 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-masks", dest="max_masks", type=int, default=100)
     p.add_argument("--save-dir", dest="save_dir", default="runs/train/exp")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--autoanchor", action="store_true",
+                   help="report anchor BPR fit on the val set before training")
     return p
 
 

@@ -63,6 +63,34 @@ class PanopticSegHead(nn.Module):
         return losses, {"probs": probs, "logits": logits}
 
 
+class ClassificationHead(nn.Module):
+    """Whole-ROI classification header (the reference's 'cl' tasks,
+    hnet_new.py:157-166): global-pool the coarsest pyramid level → MLP."""
+
+    num_classes: int
+    hidden: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: Sequence[Array],
+        targets: Optional[Array] = None,   # (B,) int labels
+        train: bool = False,
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        x = jnp.mean(feats[-1], axis=(1, 2))  # (B, C) global average pool
+        x = jax.nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x))
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
+        logits = logits.astype(jnp.float32)
+        losses: Dict[str, Array] = {}
+        if targets is not None:
+            logp = jax.nn.log_softmax(logits, -1)
+            ce = -jnp.take_along_axis(logp, jnp.clip(targets, 0)[:, None], 1)[:, 0]
+            valid = targets >= 0
+            losses["cl_loss"] = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+        return losses, {"logits": logits, "probs": jax.nn.softmax(logits, -1)}
+
+
 class ConstrainModule(nn.Module):
     """Cross-header consistency loss between a seg map and a det header.
 

@@ -140,6 +140,15 @@ class HNet(nn.Module):
                     dtype=self.dtype,
                     name=f"header_{task_id}",
                 )
+            elif kind in ("cl", "classification"):
+                from .heads import ClassificationHead
+
+                headers[task_id] = ClassificationHead(
+                    num_classes=h["num_classes"],
+                    hidden=h.get("hidden", 256),
+                    dtype=self.dtype,
+                    name=f"header_{task_id}",
+                )
             else:
                 raise ValueError(f"unknown header type {kind!r}")
         self.headers = headers
@@ -187,6 +196,9 @@ class HNet(nn.Module):
                 if o:
                     o = dict(o)
                     o["boxes"] = o["boxes"] / amp  # back to input frame
+            elif self.header_cfg[task_id].get("type") in ("cl", "classification"):
+                cl_t = t.get("label") if t is not None else None
+                l, o = header(task_feats, cl_t, train=train)
             else:
                 seg_t = t.get("seg_map") if t is not None else None
                 l, o = header(task_feats, seg_t, train=train)

@@ -12,4 +12,5 @@ from .tiling import (  # noqa: F401
     sliding_window_grid,
     extract_tiles,
     slide_inference,
+    slide_inference_sharded,
 )

@@ -64,6 +64,35 @@ def extract_tiles(slide: Array, origins: Array, tile: int) -> Array:
     return jax.lax.map(one, origins)
 
 
+def slide_inference_sharded(
+    forward: Callable[[Array], Dict[str, Array]],
+    slide: Array,
+    mesh,
+    tile: int = 640,
+    overlap: int = 64,
+    batch_per_device: int = 4,
+    **kwargs,
+) -> Dict[str, np.ndarray]:
+    """Mesh-sharded slide inference: the tile batch axis shards over the
+    'data' axis so each chip streams its tile sub-grid through the same jitted
+    forward (SURVEY.md §5.7 — spatial parallelism in the slot CP/ring-attention
+    occupies in LLM stacks).  Global stitching NMS runs after gathering.
+    """
+    from ..parallel import shard_batch as _shard
+
+    n_dev = mesh.devices.size
+    batch = batch_per_device * n_dev
+
+    def sharded_forward(tiles: Array) -> Dict[str, Array]:
+        with mesh:
+            tiles = _shard(tiles, mesh)
+            return forward(tiles)
+
+    return slide_inference(
+        sharded_forward, slide, tile=tile, overlap=overlap, batch=batch, **kwargs
+    )
+
+
 def slide_inference(
     forward: Callable[[Array], Dict[str, Array]],
     slide: Array,
