@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from ..ops.boxes import xywh2xyxy, xywhn2xyxy, xyxy2xywh, paired_box_iou
 from ..ops.nms import nms_per_image
-from ..ops.roi_align import multiscale_roi_align
+from ..ops.roi_align import multiscale_roi_align, multiscale_roi_align_batched
 from ..ops.scatter import segment_max_with_argmax
 from .builder import HeaderSpec
 from .layers import ConvBnAct
@@ -263,11 +263,9 @@ class Detect(nn.Module):
             boxes_r = det["boxes"][:, :R]   # NMS output is score-ordered
             levels_r = out["levels"][:, :R]
             M = self.mask_output_size // 2
-            pooled = jax.vmap(
-                lambda feats, bxs, lvl: multiscale_roi_align(
-                    feats, bxs, lvl, self.spec.strides, M
-                )
-            )(list(seg_feats), boxes_r, levels_r)
+            pooled = multiscale_roi_align_batched(
+                list(seg_feats), boxes_r, levels_r, self.spec.strides, M
+            )
             B = boxes_r.shape[0]
             logits = self.mask_head(pooled.reshape(B * R, M, M, self.dim_reduced))
             probs = jax.nn.sigmoid(logits.astype(jnp.float32)).reshape(
@@ -379,9 +377,12 @@ class Detect(nn.Module):
         roi_labels_oh = jnp.take_along_axis(labels_oh, top_t[..., None], axis=1)  # (B, R, nc+1)
 
         M = self.mask_output_size // 2
-        pooled = jax.vmap(
-            lambda feats, bxs, lvl: multiscale_roi_align(feats, bxs, lvl, self.spec.strides, M)
-        )(list(seg_feats), roi_boxes, roi_levels)
+        # use_pallas=False: the mask loss differentiates through the pooled
+        # features and the Pallas kernel has no VJP (yet) — XLA path is used
+        pooled = multiscale_roi_align_batched(
+            list(seg_feats), roi_boxes, roi_levels, self.spec.strides, M,
+            use_pallas=False,
+        )
         logits = self.mask_head(pooled.reshape(B * R, M, M, self.dim_reduced))
 
         # lowest-level label → mask channel (yolo_head.py:269-272)

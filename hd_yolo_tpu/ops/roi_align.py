@@ -145,6 +145,55 @@ def roi_align(
     return out.reshape(-1, output_size, output_size, features.shape[-1])[:K]
 
 
+def multiscale_roi_align_batched(
+    features: Sequence[Array],   # per level (B, H_l, W_l, C)
+    boxes: Array,                # (B, K, 4) xyxy image coords
+    levels: Array,               # (B, K) int level per ROI
+    strides: Sequence[float],
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+    chunk: int = 64,
+    use_pallas: Optional[bool] = None,
+) -> Array:
+    """Batched multi-level ROI-align → (B, K, M, M, C).
+
+    ``use_pallas=None`` auto-selects the fused Pallas kernel on TPU backends
+    (ops/pallas_roi_align.py) and the XLA matmul path elsewhere; override via
+    the HD_YOLO_PALLAS_ROI env var ('1'/'0').
+    """
+    import os
+
+    import jax
+
+    if use_pallas is None:
+        env = os.environ.get("HD_YOLO_PALLAS_ROI")
+        if env is not None:
+            use_pallas = env == "1"
+        else:
+            use_pallas = jax.default_backend() == "tpu"
+
+    out = None
+    for i, (fmap, stride) in enumerate(zip(features, strides)):
+        if use_pallas:
+            from .pallas_roi_align import roi_align_pallas
+
+            pooled = roi_align_pallas(
+                fmap, boxes, output_size, spatial_scale=1.0 / float(stride),
+                sampling_ratio=sampling_ratio, aligned=aligned,
+            )
+        else:
+            pooled = jax.vmap(
+                lambda f2, b2: roi_align(
+                    f2, b2, output_size, spatial_scale=1.0 / float(stride),
+                    sampling_ratio=sampling_ratio, aligned=aligned, chunk=chunk,
+                )
+            )(fmap, boxes)
+        sel = (levels == i).astype(pooled.dtype)[..., None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    return out
+
+
 def multiscale_roi_align(
     features: Sequence[Array],
     boxes: Array,
