@@ -377,11 +377,9 @@ class Detect(nn.Module):
         roi_labels_oh = jnp.take_along_axis(labels_oh, top_t[..., None], axis=1)  # (B, R, nc+1)
 
         M = self.mask_output_size // 2
-        # use_pallas=False: the mask loss differentiates through the pooled
-        # features and the Pallas kernel has no VJP (yet) — XLA path is used
+        # Pallas forward + XLA-matmul backward (roi_align_pallas custom_vjp)
         pooled = multiscale_roi_align_batched(
-            list(seg_feats), roi_boxes, roi_levels, self.spec.strides, M,
-            use_pallas=False,
+            list(seg_feats), roi_boxes, roi_levels, self.spec.strides, M
         )
         logits = self.mask_head(pooled.reshape(B * R, M, M, self.dim_reduced))
 

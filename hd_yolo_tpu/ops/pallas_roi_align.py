@@ -80,9 +80,8 @@ def _kernel(boxes_ref, f_ref, out_ref, *, M: int, n: int, H: int, W: int, C: int
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned",
-                     "kchunk", "interpret"),
+    jax.custom_vjp,
+    nondiff_argnums=(2, 3, 4, 5, 6, 7),
 )
 def roi_align_pallas(
     features: Array,  # (B, H, W, C)
@@ -94,7 +93,65 @@ def roi_align_pallas(
     kchunk: int = 4,
     interpret: bool = False,
 ) -> Array:
-    """Batched fused ROI-align → (B, K, M, M, C)."""
+    """Batched fused ROI-align → (B, K, M, M, C).
+
+    Differentiable w.r.t. ``features``: the backward pass reuses the XLA
+    matmul formulation (whose autodiff is the efficient Wyᵀ·g·Wx scatter) —
+    Pallas forward, XLA backward.
+    """
+    return _roi_align_pallas_impl(
+        features, boxes, output_size, spatial_scale, sampling_ratio, aligned,
+        kchunk, interpret,
+    )
+
+
+def _roi_align_fwd(features, boxes, output_size, spatial_scale, sampling_ratio,
+                   aligned, kchunk, interpret):
+    out = _roi_align_pallas_impl(
+        features, boxes, output_size, spatial_scale, sampling_ratio, aligned,
+        kchunk, interpret,
+    )
+    return out, (features, boxes)
+
+
+def _roi_align_bwd(output_size, spatial_scale, sampling_ratio, aligned, kchunk,
+                   interpret, res, g):
+    from .roi_align import roi_align as _xla_roi_align
+
+    features, boxes = res
+
+    def ref(f):
+        return jax.vmap(
+            lambda ff, bb: _xla_roi_align(
+                ff, bb, output_size, spatial_scale=spatial_scale,
+                sampling_ratio=sampling_ratio, aligned=aligned,
+                chunk=max(kchunk, 32),
+            )
+        )(f, boxes)
+
+    _, vjp = jax.vjp(ref, features)
+    (df,) = vjp(g.astype(features.dtype))
+    return df, jnp.zeros_like(boxes)
+
+
+roi_align_pallas.defvjp(_roi_align_fwd, _roi_align_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned",
+                     "kchunk", "interpret"),
+)
+def _roi_align_pallas_impl(
+    features: Array,
+    boxes: Array,
+    output_size: int,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+    kchunk: int = 4,
+    interpret: bool = False,
+) -> Array:
     B, H, W, C = features.shape
     K = boxes.shape[1]
     pad = (-K) % kchunk

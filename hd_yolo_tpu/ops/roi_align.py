@@ -178,9 +178,9 @@ def multiscale_roi_align_batched(
         if use_pallas:
             from .pallas_roi_align import roi_align_pallas
 
+            # positional: custom_vjp nondiff_argnums forbids keyword use
             pooled = roi_align_pallas(
-                fmap, boxes, output_size, spatial_scale=1.0 / float(stride),
-                sampling_ratio=sampling_ratio, aligned=aligned,
+                fmap, boxes, output_size, 1.0 / float(stride), sampling_ratio, aligned,
             )
         else:
             pooled = jax.vmap(

@@ -20,6 +20,19 @@ def test_pallas_roi_align_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_roi_align_grad_matches_xla(rng):
+    """custom_vjp: Pallas forward, XLA backward — grads match XLA autodiff."""
+    f = jnp.asarray(rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+    boxes = jnp.asarray([[[2.0, 2.0, 10.0, 10.0], [4.0, 4.0, 14.0, 12.0]]])
+    g1 = jax.grad(
+        lambda x: jnp.sum(roi_align_pallas(x, boxes, 4, 1.0, 2, False, 4, True) ** 2)
+    )(f)
+    g2 = jax.grad(
+        lambda x: jnp.sum(jax.vmap(lambda ff, bb: roi_align(ff, bb, 4))(x, boxes) ** 2)
+    )(f)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_roi_align_pads_rois(rng):
     """K not divisible by kchunk → internal padding, clean trim."""
     f = jnp.asarray(rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
