@@ -231,11 +231,42 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--autoanchor", action="store_true",
                    help="report anchor BPR fit on the val set before training")
+    p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
+                   help="GA hyperparameter evolution (train.py:693-778 analog)")
     return p
+
+
+def evolve_hyp(opt) -> Dict[str, float]:
+    """GA evolution wrapper: each generation trains a short run and scores
+    fitness (reference --evolve flow)."""
+    import copy
+
+    from .evolve import evolve
+
+    base_hyp = load_cfg(opt.hyp)
+
+    def train_fn(hyp_flat):
+        o = copy.deepcopy(opt)
+        o.evolve = 0
+        gen_hyp = dict(base_hyp)
+        gen_hyp.update({k: v for k, v in hyp_flat.items() if not isinstance(v, dict)})
+        o.hyp = gen_hyp
+        o.save_dir = os.path.join(opt.save_dir, f"gen_{len(os.listdir(opt.save_dir)) if os.path.isdir(opt.save_dir) else 0}")
+        res = train(o)
+        return res.get("best_fitness", 0.0)
+
+    flat0 = {k: v for k, v in base_hyp.items() if isinstance(v, (int, float))}
+    best_hyp, best_fit = evolve(train_fn, flat0, generations=opt.evolve,
+                                save_dir=os.path.join(opt.save_dir, "evolve"))
+    save_cfg({**base_hyp, **best_hyp}, os.path.join(opt.save_dir, "hyp_evolved.yaml"))
+    LOGGER.info(f"evolution done: best fitness {best_fit:.4f}")
+    return best_hyp
 
 
 def main(argv=None):
     opt = argument_parser().parse_args(argv)
+    if opt.evolve:
+        return evolve_hyp(opt)
     return train(opt)
 
 
