@@ -53,8 +53,19 @@ def _group_label(path, leaf) -> str:
     return "kernel"
 
 
-def label_params(params) -> Any:
-    return jax.tree_util.tree_map_with_path(_group_label, params)
+def label_params(params, freeze: Optional[list] = None) -> Any:
+    """Group labels; leaves whose path contains any ``freeze`` substring get
+    'frozen' (the reference --freeze flag: e.g. ['blocks_', 'header_det'] —
+    train.py freeze_params/freeze_bn semantics, utils_torch.py:163-203)."""
+
+    def lab(path, leaf):
+        if freeze:
+            key = jax.tree_util.keystr(path)
+            if any(f in key for f in freeze):
+                return "frozen"
+        return _group_label(path, leaf)
+
+    return jax.tree_util.tree_map_with_path(lab, params)
 
 
 def make_lr_schedules(hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
@@ -92,11 +103,12 @@ def make_lr_schedules(hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
 
 
 def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
-                    schedule: str = "linear", accumulate: int = 1) -> optax.GradientTransformation:
-    """SGD(momentum, nesterov) with 3 param groups and warmup schedules."""
+                    schedule: str = "linear", accumulate: int = 1,
+                    freeze: Optional[list] = None) -> optax.GradientTransformation:
+    """SGD(momentum, nesterov) with 3 param groups (+ frozen) and warmup schedules."""
     hyp = {**DEFAULT_HYP, **{k: v for k, v in hyp.items() if k in DEFAULT_HYP}}
     lr_main, lr_bias, momentum = make_lr_schedules(hyp, epochs, steps_per_epoch, schedule)
-    labels = label_params(params)
+    labels = label_params(params, freeze)
 
     def sgd(lr_fn):
         return optax.inject_hyperparams(
@@ -112,6 +124,7 @@ def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch:
             ),
             "bn_scale": sgd(lr_main),
             "bias": sgd(lr_bias),
+            "frozen": optax.set_to_zero(),
         },
         labels,
     )

@@ -138,6 +138,7 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         variables["params"], hyp, opt.epochs, steps_per_epoch,
         schedule="cosine" if opt.cos_lr else "linear",
         accumulate=max(round(opt.nominal_batch_size / opt.batch_size), 1),
+        freeze=opt.freeze or None,
     )
     state = TrainState.create(variables, tx)
     start_epoch, best_fitness = 0, 0.0
@@ -231,6 +232,8 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--autoanchor", action="store_true",
                    help="report anchor BPR fit on the val set before training")
+    p.add_argument("--freeze", nargs="*", default=[],
+                   help="param-path substrings to freeze, e.g. blocks_ header_det")
     p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
                    help="GA hyperparameter evolution (train.py:693-778 analog)")
     return p

@@ -99,3 +99,26 @@ def test_train_step_loss_decreases_on_mesh():
     ev = make_eval_step(model)
     _, out = ev(state, batch["image"])
     assert out["det"]["boxes"].shape[0] == B
+
+
+def test_freeze_groups():
+    """--freeze substrings map params to the zero-update 'frozen' group."""
+    import optax
+
+    params = {
+        "blocks_0": {"conv": {"kernel": jnp.ones((1, 1, 3, 4))}},
+        "header_det": {"det0": {"kernel": jnp.ones((1, 1, 4, 8)), "bias": jnp.zeros(8)}},
+    }
+    labels = label_params(params, freeze=["blocks_"])
+    assert labels["blocks_0"]["conv"]["kernel"] == "frozen"
+    assert labels["header_det"]["det0"]["kernel"] == "kernel"
+
+    tx = build_optimizer(params, {"lr0": 0.1, "warmup_epochs": 0.0}, 1, 1,
+                         freeze=["blocks_"])
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    # step 0 lr is 0 under warmup (nw >= 100 steps) — check the second step
+    updates, state = tx.update(grads, state, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["blocks_0"]["conv"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(updates["header_det"]["det0"]["kernel"]).sum()) > 0.0
