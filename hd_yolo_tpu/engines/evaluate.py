@@ -174,3 +174,52 @@ def run(
         summary[name] = stats
         LOGGER.info(f"[{name}] {stats}")
     return summary
+
+
+def main(argv=None):
+    """CLI: benchmark a model config over a synthetic or csv-indexed set.
+
+    python -m hd_yolo_tpu.engines.evaluate --cfg yolov5l6-mask --weights ckpt \
+        [--data index.csv] [--n 32] [--img-size 640]
+    """
+    import argparse
+
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser("hd_yolo_tpu evaluate")
+    p.add_argument("--cfg", default="yolov5l6-mask")
+    p.add_argument("--hyp", default="hyp-nuclei")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--data", default=None, help="index csv (synthetic batch if omitted)")
+    p.add_argument("--n", type=int, default=32)
+    p.add_argument("--img-size", dest="img_size", type=int, default=640)
+    p.add_argument("--batch-size", dest="batch_size", type=int, default=8)
+    p.add_argument("--no-masks", dest="masks", action="store_false")
+    p.add_argument("--output", default="./eval_results")
+    p.add_argument("--force", action="store_true")
+    opt = p.parse_args(argv)
+
+    def data_iter():
+        if opt.data:
+            from ..data.dataset import DataLoader, DetectionDataset
+
+            ds = DetectionDataset(opt.data, {"img_size": opt.img_size}, train=False)
+            for b in DataLoader(ds, opt.batch_size, shuffle=False, drop_last=False):
+                B = b["image"].shape[0]
+                yield b["image"], [(opt.img_size, opt.img_size)] * B
+        else:
+            rng = np.random.default_rng(0)
+            for _ in range(max(opt.n // opt.batch_size, 1)):
+                imgs = rng.uniform(0, 1, (opt.batch_size, opt.img_size, opt.img_size, 3))
+                yield imgs.astype(np.float32), [(opt.img_size, opt.img_size)] * opt.batch_size
+
+    summary = run(
+        {"model": {"cfg": opt.cfg, "hyp": opt.hyp, "weights": opt.weights}},
+        data_iter, output_dir=opt.output, input_size=opt.img_size,
+        compute_masks=opt.masks, force=opt.force,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,8 @@ def run(
     input_size: Optional[int] = None,
     core_classes: int = 4,
     verbose: bool = True,
+    plots_dir: Optional[str] = None,
+    max_plot_images: int = 8,
 ):
     """Validate over an iterator of (images, padded targets).
 
@@ -171,6 +173,15 @@ def run(
                 t["boxes"] = np.asarray(t["boxes"], np.float64) * [w, h, w, h]
                 if np.asarray(t["labels"]).ndim == 2:
                     t = flatten_onehot_objects(t)
+                if plots_dir is not None and n_images - B + i < max_plot_images:
+                    from .plots import save_detection_overlay
+
+                    meta = dict(meta_info.get(task_id, {}))
+                    save_detection_overlay(
+                        f"{plots_dir}/{task_id}_img{n_images - B + i}.png",
+                        np.asarray(images_j[i]),
+                        o, t, meta={"labels_text": dict(meta.get("labels_text", {}))},
+                    )
                 if iou_type == "masks":
                     o = paste_for_mask_eval(o, int(h), int(w))
                     t = paste_for_mask_eval(t, int(h), int(w))

@@ -76,6 +76,8 @@ class HeaderSpec:
     default_input_size: Optional[int] = 640
     amplification: Optional[float] = None
     kind: str = "detect"                   # 'detect' (anchor) | 'anchor_free'
+    # label hierarchy: ((parent, (children...)), ...); () = default obj→classes
+    hierarchy: Tuple[Tuple[int, Tuple[int, ...]], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,6 +154,10 @@ def parse_model_cfg(cfg, hyp) -> NetworkSpec:
                     default_input_size=default_input_size,
                     amplification=h_amp,
                     kind="anchor_free" if m == "AFDetect" else "detect",
+                    hierarchy=tuple(
+                        (int(p), tuple(int(c) for c in ch))
+                        for p, ch in task_hyp.get("hierarchy", [])
+                    ),
                 )
             )
             save.extend(x % i for x in f)

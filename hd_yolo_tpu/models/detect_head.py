@@ -220,6 +220,11 @@ class Detect(nn.Module):
         return scores
 
     def hierarchy(self) -> Tuple[Tuple[int, Tuple[int, ...]], ...]:
+        """Label tree: hyp[tag]['hierarchy'] rows [parent, [children...]] —
+        e.g. the commented NuCLS tree in yolo_head.py:514-550; defaults to
+        root objectness (col 0) → all classes (yolo_head.py:510-511)."""
+        if self.spec.hierarchy:
+            return self.spec.hierarchy
         return ((0, tuple(range(1, self.nc + 1))),)
 
     def _compute_outputs(

@@ -95,3 +95,45 @@ def test_paste_for_mask_eval():
     m = out["masks"][0]
     assert m.dtype == bool and m.shape == (32, 32)
     assert m[16, 16] and not m[2, 2]
+
+
+def test_configurable_hierarchy():
+    """hyp[tag]['hierarchy'] rows define the label tree; scores multiply down
+    the tree (yolo_head.py:473-511 semantics, NuCLS-style 2-level example)."""
+    from hd_yolo_tpu.config import load_cfg
+    from hd_yolo_tpu.models import parse_model_cfg
+    from hd_yolo_tpu.models.detect_head import Detect
+
+    hyp = load_cfg("hyp-nuclei")
+    hyp["det"]["hierarchy"] = [[0, [1, 2]], [1, [3, 4]]]
+    spec = parse_model_cfg("yolov5s-test", hyp)
+    d = Detect(spec=spec.headers[0])
+    scores = jnp.asarray([[[0.5, 0.8, 0.6, 0.9, 0.4]]])
+    out = np.asarray(d.hierarchical_scores(scores))[0, 0]
+    np.testing.assert_allclose(
+        out, [0.5, 0.4, 0.3, 0.5 * 0.8 * 0.9, 0.5 * 0.8 * 0.4], atol=1e-6
+    )
+
+
+def test_val_plots_dir(tmp_path):
+    import os
+    import jax
+
+    from hd_yolo_tpu.models import Model
+
+    m = Model.from_cfg("yolov5s-test", "hyp-nuclei", mask_rois=4, max_masks=8,
+                       pre_nms_topk=64)
+    rng = np.random.default_rng(3)
+    x0 = jnp.zeros((2, 128, 128, 3))
+    targets = make_targets(rng, 2, 8, 4)
+    variables = m.init(jax.random.PRNGKey(0), x0, targets, train=True, compute_masks=True)
+
+    def data_iter():
+        r = np.random.default_rng(4)
+        yield (r.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32),
+               jax.tree.map(np.asarray, make_targets(r, 2, 8, 4)))
+
+    val_engine.run(m, variables, data_iter(), compute_masks=False,
+                   verbose=False, plots_dir=str(tmp_path))
+    assert os.path.exists(tmp_path / "det_img0.png")
+    assert os.path.exists(tmp_path / "det_img1.png")
