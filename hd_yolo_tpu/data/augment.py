@@ -161,14 +161,158 @@ def random_flips(img: np.ndarray, ann: Ann, p_ud=0.5, p_lr=0.5) -> Tuple[np.ndar
     return img, {"boxes": boxes, "labels": np.asarray(ann["labels"]), "masks": masks}
 
 
+def mixup(img1: np.ndarray, anns1: Dict[str, Ann], img2: np.ndarray,
+          anns2: Dict[str, Ann]) -> Tuple[np.ndarray, Dict[str, Ann]]:
+    """Beta(32,32) image blend + target union (augmentations.py:271-276)."""
+    lam = np.random.beta(32.0, 32.0)
+    img = (img1.astype(np.float32) * lam + img2.astype(np.float32) * (1 - lam)).astype(img1.dtype)
+    merged: Dict[str, Ann] = {}
+    for task in set(anns1) | set(anns2):
+        a = anns1.get(task, {"boxes": np.zeros((0, 4), np.float32),
+                             "labels": np.zeros((0,), np.int64), "masks": []})
+        b = anns2.get(task, {"boxes": np.zeros((0, 4), np.float32),
+                             "labels": np.zeros((0,), np.int64), "masks": []})
+        merged[task] = {
+            "boxes": np.concatenate([np.asarray(a["boxes"]).reshape(-1, 4),
+                                     np.asarray(b["boxes"]).reshape(-1, 4)]),
+            "labels": np.concatenate([np.asarray(a["labels"]), np.asarray(b["labels"])]),
+            "masks": list(a.get("masks", [])) + list(b.get("masks", [])),
+        }
+    return img, merged
+
+
+def copy_paste(img: np.ndarray, ann: Ann, p: float = 0.5) -> Tuple[np.ndarray, Ann]:
+    """Horizontally-mirrored object copy-paste for masked objects
+    (augmentations.py:220-246 semantics: flip instances whose mirror location
+    doesn't collide with existing boxes, paste pixels via the mask)."""
+    if p <= 0 or random.random() >= p:
+        return img, ann
+    h, w = img.shape[:2]
+    boxes = np.asarray(ann["boxes"], np.float32).reshape(-1, 4)
+    labels = list(np.asarray(ann["labels"]))
+    masks = list(ann.get("masks", [None] * len(boxes)))
+    new_boxes, new_labels, new_masks = list(boxes), list(labels), list(masks)
+    out = img.copy()
+    for i, m in enumerate(masks):  # iterate the original snapshot only
+        if m is None:
+            continue
+        b = boxes[i]
+        mb = np.array([w - b[2], b[1], w - b[0], b[3]], np.float32)  # mirrored box
+        if len(boxes):
+            from .mask import Mask  # noqa: F401  (type only)
+
+            ious = _iou_one_to_many(mb, np.asarray(new_boxes))
+            if (ious > 0.30).any():
+                continue
+        binm = m.mask().m.astype(bool)[:, ::-1]  # mirrored instance mask
+        out[binm] = img[:, ::-1][binm]
+        new_boxes.append(mb)
+        new_labels.append(labels[i])
+        new_masks.append(masks[i].flip(horizontal=True))
+    return out, {"boxes": np.asarray(new_boxes, np.float32).reshape(-1, 4),
+                 "labels": np.asarray(new_labels), "masks": new_masks}
+
+
+def _iou_one_to_many(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    if len(boxes) == 0:
+        return np.zeros(0)
+    lt = np.maximum(box[:2], boxes[:, :2])
+    rb = np.minimum(box[2:], boxes[:, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    a1 = (box[2] - box[0]) * (box[3] - box[1])
+    a2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / np.maximum(a1 + a2 - inter, 1e-9)
+
+
+def apply_projective(img: np.ndarray, ann: Ann, M: np.ndarray) -> Tuple[np.ndarray, Ann]:
+    """Apply a given 3×3 matrix to image + one task's annotations."""
+    size = img.shape[:2]
+    warped = cv2.warpPerspective(img, M, (size[1], size[0]), borderValue=(114, 114, 114))
+    boxes = np.asarray(ann["boxes"], np.float32).reshape(-1, 4)
+    masks: List[Optional[Mask]] = list(ann.get("masks", [None] * len(boxes)))
+    new_boxes = warp_boxes(boxes, M, size)
+    new_masks = []
+    for i, m in enumerate(masks):
+        if m is None:
+            new_masks.append(None)
+            continue
+        wm = m.warp(M, size)
+        new_masks.append(wm)
+        b = wm.box()
+        if b[2] > b[0] and b[3] > b[1]:
+            new_boxes[i] = np.clip(b, [0, 0, 0, 0], [size[1], size[0], size[1], size[0]])
+    keep = box_candidates(boxes, new_boxes)
+    return warped, {
+        "boxes": new_boxes[keep],
+        "labels": np.asarray(ann["labels"])[keep],
+        "masks": [m for m, k in zip(new_masks, keep) if k],
+    }
+
+
+def apply_flips(img: np.ndarray, ann: Ann, do_lr: bool, do_ud: bool) -> Tuple[np.ndarray, Ann]:
+    h, w = img.shape[:2]
+    boxes = np.asarray(ann["boxes"], np.float32).reshape(-1, 4).copy()
+    masks = list(ann.get("masks", [None] * len(boxes)))
+    if do_lr:
+        img = np.ascontiguousarray(img[:, ::-1])
+        if len(boxes):
+            boxes = np.stack([w - boxes[:, 2], boxes[:, 1], w - boxes[:, 0], boxes[:, 3]], 1)
+        masks = [m.flip(horizontal=True) if m is not None else None for m in masks]
+    if do_ud:
+        img = np.ascontiguousarray(img[::-1])
+        if len(boxes):
+            boxes = np.stack([boxes[:, 0], h - boxes[:, 3], boxes[:, 2], h - boxes[:, 1]], 1)
+        masks = [m.flip(vertical=True) if m is not None else None for m in masks]
+    return img, {"boxes": boxes, "labels": np.asarray(ann["labels"]), "masks": masks}
+
+
 def train_proc(img: np.ndarray, ann: Ann, hyp: Dict) -> Tuple[np.ndarray, Ann]:
     """Per-tile train augmentation chain (datasets.py:522-539): color →
-    projective → flips."""
+    copy-paste → projective → flips. Single-task convenience wrapper."""
+    img, anns = train_proc_multi(img, {"_": ann}, hyp)
+    return img, anns["_"]
+
+
+def train_proc_multi(img: np.ndarray, anns: Dict[str, Ann], hyp: Dict
+                     ) -> Tuple[np.ndarray, Dict[str, Ann]]:
+    """Multi-task variant: ONE set of sampled transforms applied to the image
+    and to every task's annotations, so tasks stay geometrically consistent
+    (the reference warps image+targets together in train_proc,
+    datasets.py:522-539)."""
     color_aug = hyp.get("color_aug", "hsv")
     if color_aug == "hsv":
         img = random_hsv(img, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
     elif color_aug == "dodge":
         img = color_dodge(img)
-    img, ann = random_projective(img, ann, hyp)
-    img, ann = random_flips(img, ann, hyp.get("flipud", 0.5), hyp.get("fliplr", 0.5))
-    return img, ann
+
+    cp = hyp.get("copy_paste", 0.0)
+    if cp > 0:
+        out_anns = {}
+        for task, a in anns.items():
+            img, out_anns[task] = copy_paste(img, a, cp)
+        anns = out_anns
+
+    M = projective_matrix(
+        img.shape[:2],
+        degrees=hyp.get("degrees", 0.0),
+        translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.5),
+        shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0),
+    )
+    warped = None
+    out = {}
+    for task, a in anns.items():
+        w_img, out[task] = apply_projective(img, a, M)
+        warped = w_img
+    img = warped if warped is not None else img
+
+    do_lr = random.random() < hyp.get("fliplr", 0.5)
+    do_ud = random.random() < hyp.get("flipud", 0.5)
+    flipped = None
+    out2 = {}
+    for task, a in out.items():
+        f_img, out2[task] = apply_flips(img, a, do_lr, do_ud)
+        flipped = f_img
+    return (flipped if flipped is not None else img), out2

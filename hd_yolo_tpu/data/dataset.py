@@ -321,12 +321,9 @@ def _merge_anns(a: Ann, b: Ann) -> Ann:
 
 
 def _apply_train_proc(img, anns, hyp):
-    out = {}
-    for task, a in anns.items():
-        img2, a2 = train_proc(img, a, hyp)
-        out[task] = a2
-        img = img2  # color/geo params are per-tile; tasks share the image warp
-    return img, out
+    from .augment import train_proc_multi
+
+    return train_proc_multi(img, anns, hyp)
 
 
 def collate_padded(samples: Sequence[Dict[str, object]]) -> Dict[str, object]:

@@ -151,3 +151,49 @@ def test_loader_batches(synthetic_dataset):
     it = iter(DataLoader(ds, batch_size=2, workers=1, infinite=True))
     for _ in range(5):
         next(it)
+
+
+def test_train_proc_multi_consistent_across_tasks(rng):
+    """Multi-task tiles must receive ONE shared geometric transform."""
+    from hd_yolo_tpu.data.augment import train_proc_multi
+
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    box = np.array([[20, 20, 44, 44]], np.float32)
+    anns = {
+        "det": {"boxes": box.copy(), "labels": np.array([1]), "masks": [None]},
+        "detSC": {"boxes": box.copy(), "labels": np.array([2]), "masks": [None]},
+    }
+    np.random.seed(0)
+    import random as _r
+
+    _r.seed(0)
+    out_img, out = train_proc_multi(img, anns, {"scale": 0.3, "translate": 0.2,
+                                                "degrees": 20.0})
+    if len(out["det"]["boxes"]) and len(out["detSC"]["boxes"]):
+        np.testing.assert_allclose(out["det"]["boxes"], out["detSC"]["boxes"], atol=1e-4)
+
+
+def test_mixup_and_copy_paste(rng):
+    from hd_yolo_tpu.data.augment import copy_paste, mixup
+    from hd_yolo_tpu.data.mask import Mask
+
+    img1 = np.full((32, 32, 3), 100, np.uint8)
+    img2 = np.full((32, 32, 3), 200, np.uint8)
+    a1 = {"x": {"boxes": np.array([[2, 2, 10, 10]], np.float32),
+                "labels": np.array([1]), "masks": [None]}}
+    a2 = {"x": {"boxes": np.array([[20, 20, 30, 30]], np.float32),
+                "labels": np.array([2]), "masks": [None]}}
+    img, merged = mixup(img1, a1, img2, a2)
+    assert merged["x"]["boxes"].shape == (2, 4)
+    assert 100 <= img.mean() <= 200
+
+    # copy_paste: masked object on the left mirrors to the right
+    m = np.zeros((32, 32), np.uint8)
+    m[4:10, 2:8] = 1
+    ann = {"boxes": np.array([[2, 4, 8, 10]], np.float32),
+           "labels": np.array([1]), "masks": [Mask(m, (32, 32), "mask")]}
+    img3 = np.zeros((32, 32, 3), np.uint8)
+    img3[4:10, 2:8] = 255
+    out_img, out_ann = copy_paste(img3, ann, p=1.0)
+    assert out_ann["boxes"].shape == (2, 4)
+    assert out_img[6, 32 - 5].sum() > 0  # mirrored pixels pasted
