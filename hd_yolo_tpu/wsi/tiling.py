@@ -123,6 +123,7 @@ def slide_inference(
     origins_p = np.concatenate([origins, np.tile(origins[-1:], (pad, 1))]) if pad else origins
     slide = jnp.asarray(slide)
 
+    # stream tile batches; everything stays on device until the final fetch
     chunks = []
     for i in range(0, len(origins_p), batch):
         ob = jnp.asarray(origins_p[i : i + batch])
@@ -134,28 +135,37 @@ def slide_inference(
         shift = ob[:, None, jnp.asarray([1, 0, 1, 0])].astype(out["boxes"].dtype)
         chunk = dict(out)
         chunk["boxes"] = out["boxes"] + shift
-        chunks.append(jax.tree.map(np.asarray, chunk))
+        chunks.append(chunk)
 
-    merged: Dict[str, np.ndarray] = {}
-    for k in chunks[0]:
-        merged[k] = np.concatenate([c[k] for c in chunks])[:n]  # drop pad tiles
+    merged = {
+        k: jnp.concatenate([c[k] for c in chunks])[:n] for k in chunks[0]
+    }
     flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in merged.items()}
 
-    # keep top max_total by score before the global NMS
-    score = np.where(flat["valid"], flat["scores"], -np.inf)
-    order = np.argsort(-score)[:max_total]
-    sel = {k: v[order] for k, v in flat.items()}
-
-    labels_for_nms = sel["labels"] if class_aware_nms else np.zeros_like(sel["labels"])
-    idx, keep = batched_nms_padded(
-        jnp.asarray(sel["boxes"]),
-        jnp.asarray(np.where(sel["valid"], sel["scores"], -np.inf)),
-        jnp.asarray(np.where(labels_for_nms < 0, 0, labels_for_nms)),  # −100 → class 0 bucket
-        jnp.asarray(sel["valid"]),
-        iou_thres,
-        max_det=max_total,
+    sel, out_idx, keep = _global_stitch_nms(
+        flat["boxes"], flat["scores"],
+        flat["labels"] if class_aware_nms else jnp.zeros_like(flat["labels"]),
+        flat["valid"], iou_thres, max_total,
     )
-    idx, keep = np.asarray(idx), np.asarray(keep)
-    out = {k: v[idx] for k, v in sel.items()}
-    out["valid"] = keep & out["valid"]
-    return out
+    sel_np = jax.tree.map(np.asarray, (sel, out_idx, keep))
+    (score_sel,), idx, keep = (sel_np[0],), sel_np[1], sel_np[2]
+    flat_np = jax.tree.map(np.asarray, flat)
+    gathered = {k: v[np.asarray(score_sel)][idx] for k, v in flat_np.items()}
+    gathered["valid"] = keep & gathered["valid"]
+    return gathered
+
+
+@functools.partial(jax.jit, static_argnames=("max_total",))
+def _global_stitch_nms(boxes, scores, labels, valid, iou_thres, max_total):
+    """Device-side top-K + class-aware NMS over the stitched detection set."""
+    masked = jnp.where(valid, scores, -jnp.inf)
+    k = min(max_total, boxes.shape[0])
+    _, sel = jax.lax.top_k(masked, k)
+    b = jnp.take(boxes, sel, axis=0)
+    s = jnp.take(masked, sel)
+    l = jnp.take(labels, sel)
+    v = jnp.take(valid, sel)
+    idx, keep = batched_nms_padded(
+        b, s, jnp.where(l < 0, 0, l), v, iou_thres, max_det=k
+    )
+    return sel, idx, keep
