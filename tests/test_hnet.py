@@ -150,3 +150,39 @@ def test_hnet_inference_only(hnet_setup):
     assert np.all(lab[~v] == -100)
     if v.any():
         assert set(np.unique(lab[v])) <= {1, 2, 3}
+
+
+def test_feature_space_mosaic(rng):
+    from hd_yolo_tpu.hnet.feature_mosaic import mosaic_roi_feature_maps, mosaic_targets
+
+    N, C = 4, 8
+    strides = [8.0, 16.0]
+    feats = [
+        jnp.asarray(rng.standard_normal((N, 32, 32, C)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((N, 16, 16, C)).astype(np.float32)),
+    ]
+    rois = jnp.asarray([[0.0, 0.0, 128.0, 128.0]] * N)
+    out = mosaic_roi_feature_maps(feats, rois, strides, k=2, cell_size=16)
+    assert out[0].shape == (1, 32, 32, C)
+    assert out[1].shape == (1, 16, 16, C)
+    # cell (0,0) of the mosaic equals image 0's pooled ROI
+    from hd_yolo_tpu.ops.roi_align import roi_align
+
+    want = roi_align(feats[0][0], rois[:1], 16, spatial_scale=1 / 8.0)[0]
+    np.testing.assert_allclose(np.asarray(out[0][0, :16, :16]), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # and cell (0,1) equals image 1's
+    want1 = roi_align(feats[0][1], rois[1:2], 16, spatial_scale=1 / 8.0)[0]
+    np.testing.assert_allclose(np.asarray(out[0][0, :16, 16:]), np.asarray(want1),
+                               rtol=1e-5, atol=1e-5)
+
+    # target projection: a box filling the left half of image 2's ROI lands in
+    # the bottom-left cell's left half
+    t = mosaic_targets(
+        [np.zeros((0, 4)), np.zeros((0, 4)),
+         np.array([[0.0, 0.0, 64.0, 128.0]]), np.zeros((0, 4))],
+        [np.zeros(0), np.zeros(0), np.array([1]), np.zeros(0)],
+        np.asarray(rois), strides, k=2, cell_size=16,
+    )
+    assert t["size"] == (256, 256)
+    np.testing.assert_allclose(t["boxes"][0], [0, 128, 64, 256], atol=1e-6)
