@@ -29,3 +29,20 @@ if not LOGGER.handlers:
     LOGGER.setLevel(os.environ.get("HD_YOLO_LOGLEVEL", "INFO"))
 
 from .config import load_cfg  # noqa: E402,F401
+
+_LAZY = {
+    "Detector": ".detector",
+    "Detections": ".detector",
+    "Model": ".models",
+    "Ensemble": ".models.ensemble",
+    "HNet": ".hnet",
+}
+
+
+def __getattr__(name):  # lazy top-level API: hd_yolo_tpu.Detector etc.
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -93,3 +93,23 @@ def test_deconv_import_parity(rng):
               "bias": t.bias.detach().numpy()}
     got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_renumber_ultralytics_layout():
+    from hd_yolo_tpu.utils.import_torch import renumber_ultralytics
+
+    sd = {
+        "model.0.conv.weight": 1, "model.9.cv1.conv.weight": 2,
+        "model.24.m.0.weight": 3, "model.24.m.0.bias": 4,
+    }
+    out = renumber_ultralytics(sd)
+    assert out["model_layer.0.conv.weight"] == 1
+    assert out["model_layer.9.cv1.conv.weight"] == 2
+    assert out["headers.det.m.0.weight"] == 3  # last index = Detect row
+
+
+def test_top_level_lazy_api():
+    import hd_yolo_tpu
+
+    assert hd_yolo_tpu.Model.__name__ == "Model"
+    assert hd_yolo_tpu.Detector.__name__ == "Detector"
