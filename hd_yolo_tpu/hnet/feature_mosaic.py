@@ -48,6 +48,29 @@ def mosaic_roi_feature_maps(
     return out
 
 
+def extract_roi_feature_maps(
+    features: Sequence[Array],      # per level (B, H_l, W_l, C)
+    rois: Array,                    # (B, R, 4) xyxy in image pixels
+    strides: Sequence[float],
+    roi_size: int = 32,             # level-0 output resolution (feature cells)
+    amplification: float = 1.0,     # scale factor between task amps
+) -> List[Array]:
+    """Per-annotation multi-level ROI features (the targets path of
+    ``extract_roi_feature_maps``, hnet/utils.py:65-147): each ROI is pooled
+    from every pyramid level at a resolution that halves with the level,
+    scaled by the task amplification.  Returns per level (B, R, S_l, S_l, C)
+    with S_l = max(round(roi_size·amp) >> l, 1)."""
+    out = []
+    base = int(round(roi_size * amplification))
+    for lvl, (fmap, stride) in enumerate(zip(features, strides)):
+        S = max(base >> lvl, 1)
+        pooled = jax.vmap(
+            lambda f, r: roi_align(f, r, S, spatial_scale=1.0 / float(stride))
+        )(fmap, rois)
+        out.append(pooled)
+    return out
+
+
 def mosaic_targets(
     boxes_list: Sequence[np.ndarray],   # per source image (n_i, 4) xyxy image px
     labels_list: Sequence[np.ndarray],

@@ -186,3 +186,24 @@ def test_feature_space_mosaic(rng):
     )
     assert t["size"] == (256, 256)
     np.testing.assert_allclose(t["boxes"][0], [0, 128, 64, 256], atol=1e-6)
+
+
+def test_extract_roi_feature_maps(rng):
+    from hd_yolo_tpu.hnet.feature_mosaic import extract_roi_feature_maps
+    from hd_yolo_tpu.ops.roi_align import roi_align
+
+    B, R, C = 2, 3, 8
+    feats = [
+        jnp.asarray(rng.standard_normal((B, 32, 32, C)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((B, 16, 16, C)).astype(np.float32)),
+    ]
+    rois = jnp.asarray(rng.uniform(10, 100, (B, R, 2)))
+    rois = jnp.concatenate([rois, rois + 60], -1).astype(jnp.float32)
+    out = extract_roi_feature_maps(feats, rois, [8.0, 16.0], roi_size=16)
+    assert out[0].shape == (B, R, 16, 16, C)
+    assert out[1].shape == (B, R, 8, 8, C)
+    want = roi_align(feats[1][1], rois[1], 8, spatial_scale=1 / 16.0)
+    np.testing.assert_allclose(np.asarray(out[1][1]), np.asarray(want), rtol=1e-5, atol=1e-5)
+    # amplification doubles resolution
+    out2 = extract_roi_feature_maps(feats, rois, [8.0, 16.0], roi_size=16, amplification=2.0)
+    assert out2[0].shape == (B, R, 32, 32, C)
