@@ -137,3 +137,23 @@ def test_val_plots_dir(tmp_path):
                    verbose=False, plots_dir=str(tmp_path))
     assert os.path.exists(tmp_path / "det_img0.png")
     assert os.path.exists(tmp_path / "det_img1.png")
+
+
+def test_multi_label_output_path():
+    """hyp multi_label=true emits per-class boolean labels (yolo_head.py:339-341)."""
+    import jax
+
+    from hd_yolo_tpu.config import load_cfg
+    from hd_yolo_tpu.models import Model
+
+    hyp = load_cfg("hyp-nuclei")
+    hyp["det"]["multi_label"] = True
+    hyp["det"]["conf_thres"] = 0.001
+    m = Model.from_cfg("yolov5s-test", hyp, mask_rois=4, max_masks=8, pre_nms_topk=64)
+    x = jnp.zeros((1, 128, 128, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False, compute_masks=False)
+    _, out = m.apply(v, x, train=False, compute_masks=False)
+    o = out["det"]
+    assert "multi_labels" in o
+    assert o["multi_labels"].shape == (1, 300, 5)
+    assert o["multi_labels"].dtype == bool
