@@ -301,7 +301,9 @@ class DetectionDataset:
                 valid[:n] = True
                 for i in range(n):
                     if mlist[i] is not None:
-                        masks[i] = (mlist[i].box_crop(b[i], M) > 0.5).astype(np.float32)
+                        # keep the bilinear-resized float values as soft BCE
+                        # targets (ref datasets.py target_to_tensors semantics)
+                        masks[i] = mlist[i].box_crop(b[i], M).astype(np.float32)
             targets[task] = {
                 "boxes": boxes, "labels": labels, "masks": masks,
                 "valid": valid, "active": np.asarray(a is not None),

@@ -147,8 +147,16 @@ class Detector:
                     "labels": np.asarray(o["labels"][0])[v],
                 }
                 if "masks" in o:
-                    R = o["masks"].shape[1]
-                    entry["masks"] = np.asarray(o["masks"][0])[v[:R]]
+                    # masks cover only the first R (score-ordered) detections;
+                    # pad to full capacity so rows stay aligned with boxes[v]
+                    m = np.asarray(o["masks"][0])
+                    R, D = m.shape[0], v.shape[0]
+                    mfull = np.zeros((D,) + m.shape[1:], m.dtype)
+                    mfull[:R] = m
+                    hm = np.zeros((D,), bool)
+                    hm[:R] = np.asarray(o.get("mask_valid", o["valid"][:, :R])[0])
+                    entry["masks"] = mfull[v]
+                    entry["has_mask"] = hm[v]
                 rec[t] = entry
             records.append(rec)
         return Detections(records, arrs, self.labels_text)

@@ -124,8 +124,16 @@ def inference_on_loader(
                     "labels": o["labels"][i][v],
                 }
                 if "masks" in o:
-                    R = o["masks"].shape[1]
-                    rec[t]["masks"] = o["masks"][i][v[:R]]
+                    # masks exist only for the first R score-ordered slots;
+                    # pad to detection capacity so rows align with boxes[v]
+                    m = o["masks"][i]
+                    R, D = m.shape[0], v.shape[0]
+                    mfull = np.zeros((D,) + m.shape[1:], m.dtype)
+                    mfull[:R] = m
+                    hm = np.zeros((D,), bool)
+                    hm[:R] = np.asarray(o.get("mask_valid", o["valid"][:, :R])[i])
+                    rec[t]["masks"] = mfull[v]
+                    rec[t]["has_mask"] = hm[v]
             outputs.append(rec)
     return {"outputs": outputs, "time_per_image": total_time / max(n_images, 1)}
 
@@ -148,7 +156,9 @@ def run(
     for name, exp in experiments.items():
         cache = os.path.join(output_dir, f"{name}_results.pkl")
         stats_path = os.path.join(output_dir, f"{name}_stats.json")
-        if os.path.exists(cache) and not force:
+        if os.path.exists(cache) and os.path.exists(stats_path) and not force:
+            # require BOTH files: a crash between the pickle and stats writes
+            # must fall through to recompute, not raise (ADVICE r1)
             LOGGER.info(f"[{name}] cached → {cache}")
             with open(stats_path) as f:
                 summary[name] = json.load(f)

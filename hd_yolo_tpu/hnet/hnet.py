@@ -76,9 +76,9 @@ class DarkNetBackbone(nn.Module):
         for i, ch in enumerate(chs[1:]):
             x = ConvBnAct(c(ch), 3, 2, dtype=self.dtype)(x, train)
             x = C3(c(ch), max(round(3 * self.depth), 1), dtype=self.dtype)(x, train)
-            if i >= 1:  # strides 8, 16, 32, 64 → keep 8..32 (4 levels at /4? no)
+            if i >= 1:  # keep the /8, /16, /32 stages (3 levels)
                 outs.append(x)
-        return outs[-4:] if len(outs) >= 4 else outs
+        return outs
 
 
 class HNet(nn.Module):
@@ -109,7 +109,9 @@ class HNet(nn.Module):
             self.backbone = DarkNetBackbone(
                 width=b.get("width", 0.5), depth=b.get("depth", 0.33), dtype=self.dtype
             )
-            self.backbone_strides = (8.0, 16.0, 32.0, 64.0)
+            # darknet emits 3 levels (/8,/16,/32); stride list must match the
+            # feature count or MaskRCNN._pool assigns ROIs to a missing level
+            self.backbone_strides = (8.0, 16.0, 32.0)
 
         f = cfg.get("fpn", {})
         self.fpn = FeaturePyramidNetwork(

@@ -225,8 +225,13 @@ class AnchorFreeDetect(nn.Module):
                 bce_with_logits(cl, onehot),
                 jnp.broadcast_to(fg[:, None], cl.shape),
             )
-            # box CIoU on fg
+            # box CIoU on fg; padded GT slots are zero-wh boxes whose arctan
+            # aspect term is NaN — substitute a unit box for non-fg cells so
+            # NaN*0 can't poison the masked mean (same guard as losses.det_loss)
             gt_xywh = xyxy2xywh(gb)[best_gt]
+            gt_xywh = jnp.where(
+                fg[:, None], gt_xywh, jnp.asarray([0.0, 0.0, 1.0, 1.0], gt_xywh.dtype)
+            )
             ciou = bbox_iou(boxes_xywh, gt_xywh, xywh=True, CIoU=True)[:, 0]
             l_box = masked_mean(1.0 - ciou, fg)
             return l_obj, l_cls, l_box

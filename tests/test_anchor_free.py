@@ -50,6 +50,33 @@ def test_simota_no_valid_gt():
     assert not np.asarray(fg).any()
 
 
+def test_anchor_free_loss_finite_with_zero_valid_targets(rng):
+    """Padded zero-wh GT boxes must not NaN-poison CIoU via masked means
+    (ADVICE r1 high): an image with NO valid targets exercises best_gt=0
+    pointing at a degenerate box."""
+    head = AnchorFreeDetect(nc=4, strides=(8.0,), width=16, pre_nms_topk=32)
+    feats = [jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))]
+    B, T = 2, 5
+    targets = {
+        "boxes": jnp.zeros((B, T, 4)),            # all-padded, zero-wh
+        "labels": jnp.zeros((B, T), jnp.int32),
+        "valid": jnp.zeros((B, T), bool),
+    }
+    variables = head.init(jax.random.PRNGKey(0), feats, targets, train=True)
+
+    def loss_fn(params):
+        (l, _), _ = head.apply(
+            {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+            feats, targets, train=True, mutable=["batch_stats"],
+        )
+        return l["det_loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    assert all(np.isfinite(np.asarray(g)).all() for _, g in flat)
+
+
 @pytest.mark.slow
 def test_anchor_free_head_end_to_end(rng):
     head = AnchorFreeDetect(nc=4, strides=(8.0, 16.0, 32.0), width=32, pre_nms_topk=128)
