@@ -135,6 +135,14 @@ def slide_inference(
         shift = ob[:, None, jnp.asarray([1, 0, 1, 0])].astype(out["boxes"].dtype)
         chunk = dict(out)
         chunk["boxes"] = out["boxes"] + shift
+        # keys with a smaller per-image capacity than the detection axis
+        # (masks: max_masks < max_det) are zero-padded to max_det so the
+        # flattened global indices address every key identically
+        D = chunk["boxes"].shape[1]
+        for k, v in chunk.items():
+            if v.shape[1] != D:
+                pad_width = [(0, 0), (0, D - v.shape[1])] + [(0, 0)] * (v.ndim - 2)
+                chunk[k] = jnp.pad(v, pad_width)
         chunks.append(chunk)
 
     merged = {

@@ -77,9 +77,52 @@ def test_slide_inference_dedups_overlap():
     slide = jnp.zeros((128, 138, 3))
     out = slide_inference(forward, slide, tile=128, overlap=118, batch=2, max_total=16)
     boxes = out["boxes"][out["valid"]]
-    # iou of the two shifted boxes = (10*20... actually offset 10px on x only:
-    # overlap 10x20=200... relative to union 600 → 0.33 < 0.45 → both kept.
-    assert out["valid"].sum() in (1, 2)
+    # the two boxes are offset 10px on x only: intersection 10×20=200,
+    # union 2·400−200=600 → IoU 0.33 < 0.45 → BOTH survive global NMS
+    assert out["valid"].sum() == 2
+
+
+def test_slide_inference_with_masks():
+    """Forward emitting masks with capacity R < max_det must stitch without
+    index corruption, and each surviving mask must travel with its box
+    (regression: masks were flattened at R-capacity but indexed at
+    max_det-capacity)."""
+    D, R = 4, 2  # det capacity > mask capacity
+
+    def forward(tiles):
+        B = tiles.shape[0]
+        boxes = jnp.tile(jnp.asarray([[10.0, 10.0, 30.0, 30.0]]), (B, D, 1))
+        valid = jnp.tile(jnp.asarray([True] + [False] * (D - 1)), (B, 1))
+        scores = jnp.tile(jnp.asarray([0.9] + [0.0] * (D - 1)), (B, 1))
+        labels = jnp.ones((B, D), jnp.int32)
+        # mask fingerprint = tile mean intensity, so we can match mask↔tile
+        fp = jnp.mean(tiles, axis=(1, 2, 3))
+        masks = jnp.tile(fp[:, None, None, None], (1, R, 8, 8))
+        mask_valid = jnp.tile(jnp.asarray([True] + [False] * (R - 1)), (B, 1))
+        return {"boxes": boxes, "scores": scores, "labels": labels,
+                "valid": valid, "masks": masks, "mask_valid": mask_valid}
+
+    # give every tile a distinct intensity so fingerprints differ
+    H, W, tile, overlap = 200, 328, 128, 28
+    slide = np.zeros((H, W, 3), np.float32)
+    grid = sliding_window_grid(H, W, tile, overlap)
+    for i, (y, x) in enumerate(grid):  # later tiles overwrite overlaps — fine,
+        slide[y : y + tile, x : x + tile] = 0.1 * (i + 1)  # fp is tile-mean anyway
+    expect_fp = {
+        (int(y), int(x)): float(slide[y : y + tile, x : x + tile].mean())
+        for y, x in grid
+    }
+
+    out = slide_inference(
+        forward, jnp.asarray(slide), tile=tile, overlap=overlap, batch=2, max_total=64
+    )
+    v = out["valid"]
+    assert v.sum() == len(grid)
+    assert out["masks"].shape[1:] == (8, 8)
+    for b, m, mv in zip(out["boxes"][v], out["masks"][v], out["mask_valid"][v]):
+        assert mv  # every kept det was a mask-slot-0 det
+        origin = (int(b[1]) - 10, int(b[0]) - 10)
+        np.testing.assert_allclose(m, expect_fp[origin], atol=1e-5)
 
 
 def test_letterbox_and_hsv(rng):
