@@ -3,70 +3,159 @@
 Host-side numpy (metrics never sit on the hot device path; the model emits
 padded detection arrays, the meter consumes the valid slots).
 
-Behavioral reference: ``/root/reference/metayolo/models/metrics.py``:
-  * ``compute_ap`` 101-point interpolated AP (:86-111),
-  * ``ap_per_class`` PR curves + max-F1 operating point (:19-83),
-  * ``ConfusionMatrix`` IoU-matched (:114-203),
-  * ``APMeter`` streaming matcher with ignore-class semantics for the
-    unlabeled (−100) / ignore (−1) classes (:251-395) — the subtle part:
-    predictions matched to ignored GT are *excluded* from the PR curves,
-  * ``evaluate_detection`` / ``weighted_average_pr`` / ``summarize_*`` NuCLS
-    summaries (:411-633) including multi-class Matthews correlation.
+Behavioral parity targets (``/root/reference/metayolo/models/metrics.py``):
+101-point interpolated AP (:86-111), per-class PR curves with max-F1
+operating point (:19-83), IoU-matched confusion matrix (:114-203), and the
+streaming meter's ignore-class semantics (:251-395) — predictions whose only
+candidates are unlabeled (−100) / ignored (−1) GT are excluded from the PR
+curves entirely.
+
+The decomposition here is our own: a single greedy one-to-one resolver
+(``resolve_one_to_one``) shared by the meter and the confusion matrix, the
+meter keeps per-image records and resolves lazily at summary time, and both
+AP entry points assemble curves through one helper (``_class_curves``).
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
 
 # --------------------------------------------------------------------------- ap
 def compute_ap(recall: np.ndarray, precision: np.ndarray):
-    """101-point interpolated AP (COCO style)."""
-    mrec = np.concatenate(([0.0], recall, [1.0]))
-    mpre = np.concatenate(([1.0], precision, [0.0]))
-    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
-    x = np.linspace(0, 1, 101)
-    ap = np.trapezoid(np.interp(x, mrec, mpre), x)
-    return ap, mpre, mrec
+    """101-point interpolated AP (COCO style).
+
+    The precision envelope is made monotone non-increasing from the right,
+    sampled on a 101-point recall grid, and integrated.
+    """
+    r_env = np.concatenate(([0.0], recall, [1.0]))
+    p_env = np.concatenate(([1.0], precision, [0.0]))
+    p_env = np.flip(np.maximum.accumulate(np.flip(p_env)))
+    grid = np.linspace(0, 1, 101)
+    ap = np.trapezoid(np.interp(grid, r_env, p_env), grid)
+    return ap, p_env, r_env
+
+
+_CURVE_POINTS = 1000
+
+
+def _class_curves(hit: np.ndarray, conf_sorted: np.ndarray, n_gt: int):
+    """Precision/recall for ONE class from score-desc-sorted prediction rows.
+
+    hit: (n, n_iouv) bool TP flags.  Returns (p_curve, r_curve) sampled on a
+    descending-confidence grid of _CURVE_POINTS plus the raw cumulative
+    (recall, precision) columns for AP integration.
+    """
+    grid = np.linspace(0, 1, _CURVE_POINTS)
+    tp_cum = hit.cumsum(0)
+    fp_cum = (~hit.astype(bool)).cumsum(0)
+    recall = tp_cum / max(n_gt, 1e-16)
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-16)
+    # sample at descending confidence: np.interp needs ascending x → negate
+    r_curve = np.interp(-grid, -conf_sorted, recall[:, 0], left=0)
+    p_curve = np.interp(-grid, -conf_sorted, precision[:, 0], left=1)
+    return p_curve, r_curve, recall, precision
 
 
 def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
-    """PR curves per class + max-F1 operating point (metrics.py:19-83).
+    """Per-class AP matrix + the max-mean-F1 operating point.
 
     tp: (n, n_iouv) bool; conf: (n,); pred_cls: (n,); target_cls: (m,).
-    Returns (tp, fp, p, r, f1, ap, unique_classes).
+    Returns (tp, fp, p, r, f1, ap, unique_classes) at the chosen point.
     """
-    i = np.argsort(-conf, kind="stable")
-    tp, conf, pred_cls = tp[i], conf[i], pred_cls[i]
-    unique_classes, nt = np.unique(target_cls, return_counts=True)
-    nc = unique_classes.shape[0]
+    order = np.argsort(-conf, kind="stable")
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+    classes, n_gt_per_class = np.unique(target_cls, return_counts=True)
 
-    px = np.linspace(0, 1, 1000)
-    ap = np.zeros((nc, tp.shape[1]))
-    p, r = np.zeros((nc, 1000)), np.zeros((nc, 1000))
-    for ci, c in enumerate(unique_classes):
-        sel = pred_cls == c
-        n_l, n_p = nt[ci], sel.sum()
-        if n_p == 0 or n_l == 0:
+    n_iouv = tp.shape[1]
+    ap = np.zeros((len(classes), n_iouv))
+    p = np.zeros((len(classes), _CURVE_POINTS))
+    r = np.zeros((len(classes), _CURVE_POINTS))
+    for ci, (c, n_gt) in enumerate(zip(classes, n_gt_per_class)):
+        rows = pred_cls == c
+        if n_gt == 0 or not rows.any():
             continue
-        fpc = (1 - tp[sel]).cumsum(0)
-        tpc = tp[sel].cumsum(0)
-        recall = tpc / (n_l + eps)
-        r[ci] = np.interp(-px, -conf[sel], recall[:, 0], left=0)
-        precision = tpc / (tpc + fpc)
-        p[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
-        for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+        p[ci], r[ci], recall, precision = _class_curves(tp[rows], conf[rows], n_gt)
+        for j in range(n_iouv):
+            ap[ci, j] = compute_ap(recall[:, j], precision[:, j])[0]
 
     f1 = 2 * p * r / (p + r + eps)
-    i = f1.mean(0).argmax()
-    p, r, f1 = p[:, i], r[:, i], f1[:, i]
-    tp_ = (r * nt).round()
-    fp_ = (tp_ / (p + eps) - tp_).round()
-    return tp_, fp_, p, r, f1, ap, unique_classes.astype("int32")
+    best = f1.mean(0).argmax()
+    p, r, f1 = p[:, best], r[:, best], f1[:, best]
+    tp_count = (r * n_gt_per_class).round()
+    fp_count = (tp_count / (p + eps) - tp_count).round()
+    return tp_count, fp_count, p, r, f1, ap, classes.astype("int32")
+
+
+# ------------------------------------------------------------------- matching
+class MatchResult(NamedTuple):
+    pred_idx: np.ndarray   # (k,) matched prediction rows
+    gt_idx: np.ndarray     # (k,) their GT partners
+    iou: np.ndarray        # (k,) pair IoUs
+
+
+def resolve_one_to_one(
+    pair_pred: np.ndarray,
+    pair_gt: np.ndarray,
+    pair_iou: np.ndarray,
+    n_pred: int,
+    gt_winner: str = "rank",
+) -> MatchResult:
+    """Greedy 1:1 resolution of candidate (pred, gt, iou) pairs.
+
+    Stage 1 — every prediction proposes to its highest-IoU candidate GT.
+    Stage 2 — every GT accepts one claimant: its lowest-index (= highest
+    ranked, for score-sorted predictions) claimant when ``gt_winner='rank'``,
+    or its highest-IoU claimant when ``gt_winner='iou'``.
+    """
+    if len(pair_pred) == 0:
+        z = np.zeros(0, np.int64)
+        return MatchResult(z, z, np.zeros(0, np.float64))
+
+    # stage 1: per-pred best IoU (ties → the pair listed first, i.e. lowest gt)
+    best_iou = np.full(n_pred, -1.0)
+    best_gt = np.full(n_pred, -1, np.int64)
+    for p, g, v in zip(pair_pred, pair_gt, pair_iou):
+        if v > best_iou[p]:
+            best_iou[p], best_gt[p] = v, g
+
+    proposers = np.flatnonzero(best_gt >= 0)
+    # stage 2: per-gt winner
+    winner_for_gt: Dict[int, int] = {}
+    if gt_winner == "rank":
+        for p in proposers:  # ascending pred index = descending rank
+            winner_for_gt.setdefault(int(best_gt[p]), int(p))
+    else:
+        for p in proposers[np.argsort(-best_iou[proposers], kind="stable")]:
+            winner_for_gt.setdefault(int(best_gt[p]), int(p))
+
+    pred_w = np.asarray(sorted(winner_for_gt.values()), np.int64)
+    return MatchResult(pred_w, best_gt[pred_w], best_iou[pred_w])
+
+
+# ------------------------------------------------------------------- iou utils
+def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-12)
+
+
+def get_mask_ious(y_true: np.ndarray, y_pred: np.ndarray) -> np.ndarray:
+    """(n, h, w) × (m, h, w) mask-IoU matrix (utils_nucls.py:480-490)."""
+    if len(y_true) == 0 or len(y_pred) == 0:
+        return np.zeros((len(y_true), len(y_pred)))
+    t = y_true.reshape(len(y_true), -1).astype(np.float64)
+    p = y_pred.reshape(len(y_pred), -1).astype(np.float64)
+    inter = t @ p.T
+    union = t.sum(1)[:, None] + p.sum(1)[None] - inter + 1e-8
+    return inter / union
 
 
 # ------------------------------------------------------------------- iou utils
@@ -93,7 +182,11 @@ def get_mask_ious(y_true: np.ndarray, y_pred: np.ndarray) -> np.ndarray:
 
 # --------------------------------------------------------------- ConfusionMatrix
 class ConfusionMatrix:
-    """IoU-matched detection confusion matrix (metrics.py:114-169)."""
+    """IoU-matched detection confusion matrix.
+
+    Rows = predicted class (last row = background / undetected GT), columns =
+    GT class (last col = background / unmatched detection).
+    """
 
     def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45):
         self.matrix = np.zeros((nc + 1, nc + 1))
@@ -106,31 +199,22 @@ class ConfusionMatrix:
         detections = detections[detections[:, 4] > self.conf]
         gt_classes = labels[:, 0].astype(int)
         det_classes = detections[:, 5].astype(int)
-        iou = box_iou_np(labels[:, 1:], detections[:, :4])
 
-        gi, di = np.where(iou > self.iou_thres)
-        if len(gi):
-            matches = np.stack([gi, di, iou[gi, di]], 1)
-            if len(gi) > 1:
-                matches = matches[matches[:, 2].argsort()[::-1]]
-                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
-                matches = matches[matches[:, 2].argsort()[::-1]]
-                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
-        else:
-            matches = np.zeros((0, 3))
+        iou = box_iou_np(detections[:, :4], labels[:, 1:])  # (n_det, n_gt)
+        di, gi = np.nonzero(iou > self.iou_thres)
+        m = resolve_one_to_one(di, gi, iou[di, gi], len(detections), gt_winner="iou")
+        det_of_gt = {int(g): int(p) for p, g in zip(m.pred_idx, m.gt_idx)}
 
-        n = matches.shape[0] > 0
-        m0, m1 = matches[:, 0].astype(int), matches[:, 1].astype(int)
-        for i, gc in enumerate(gt_classes):
-            j = m0 == i
-            if n and j.sum() == 1:
-                self.matrix[det_classes[m1[j]][0], gc] += 1
+        for g, gc in enumerate(gt_classes):
+            if g in det_of_gt:
+                self.matrix[det_classes[det_of_gt[g]], gc] += 1
             else:
-                self.matrix[self.nc, gc] += 1  # background FP
-        if n:
-            for i, dc in enumerate(det_classes):
-                if not (m1 == i).any():
-                    self.matrix[dc, self.nc] += 1  # background FN
+                self.matrix[self.nc, gc] += 1  # undetected GT
+        if det_of_gt:
+            matched_dets = set(det_of_gt.values())
+            for d, dc in enumerate(det_classes):
+                if d not in matched_dets:
+                    self.matrix[dc, self.nc] += 1  # detection on background
 
     def tp_fp(self):
         tp = self.matrix.diagonal()
@@ -139,14 +223,28 @@ class ConfusionMatrix:
 
 
 # ------------------------------------------------------------------- APMeter
-class APMeter:
-    """Streaming AP accumulator with ignore-class semantics (metrics.py:251-395).
+class _ImageRecord(NamedTuple):
+    """One image's raw evaluation material, matching deferred to summary."""
 
-    Per image, ``add`` records score-sorted predictions, all candidate
-    (pred, gt) pairs with IoU ≥ min(iouv) sorted by IoU desc, and the GT
-    labels.  ``ap_per_class`` then resolves 1-vs-1 matches and computes
-    per-class PR/AP at every IoU threshold, excluding predictions that
-    matched ignored GT (labels −100 unclassified / −1).
+    scores: np.ndarray       # (n_pred,) score-descending
+    pred_labels: np.ndarray  # (n_pred,)
+    gt_labels: np.ndarray    # (n_gt,)
+    pair_pred: np.ndarray    # (k,) candidate pairs with IoU ≥ candidate thresh
+    pair_gt: np.ndarray      # (k,)
+    pair_iou: np.ndarray     # (k,)
+
+
+class APMeter:
+    """Streaming mAP@[.5:.95] accumulator with ignore-class semantics.
+
+    ``add`` stores one :class:`_ImageRecord` per image: score-sorted
+    predictions plus every (pred, gt) candidate pair at IoU ≥ 0.5.
+    ``ap_per_class`` resolves matches per image through
+    :func:`resolve_one_to_one` (rank-priority GT assignment + label-equality
+    filter) and builds per-class PR/AP curves.  A prediction whose candidate
+    pairs all point at ignored GT (label −100 unclassified / −1) and that
+    ends up unmatched is *excluded* from the curves — the parity-critical
+    behavior for NuCLS's unlabeled class.
     """
 
     def __init__(self, labels_text: Optional[Dict[int, str]] = None):
@@ -155,118 +253,122 @@ class APMeter:
         self.reset()
 
     def reset(self):
-        self.n_pred, self.n_true, self.n_match = 0, 0, 0
-        self.scores: List[np.ndarray] = []
-        self.y_pred: List[np.ndarray] = []
-        self.y_true: List[np.ndarray] = []
-        self.ious: List[np.ndarray] = []
-        self.m_pred: List[np.ndarray] = []
-        self.m_true: List[np.ndarray] = []
+        self.images: List[_ImageRecord] = []
+
+    # kept as properties for callers/loggers that report meter volume
+    @property
+    def n_pred(self) -> int:
+        return sum(len(im.scores) for im in self.images)
+
+    @property
+    def n_true(self) -> int:
+        return sum(len(im.gt_labels) for im in self.images)
 
     def add(self, output: Dict[str, np.ndarray], target: Dict[str, np.ndarray],
             iou_type: str = "boxes"):
         scores = np.asarray(output["scores"], np.float64)
         order = np.argsort(-scores, kind="stable")
-        o_scores = scores[order]
-        o_labels = np.asarray(output["labels"])[order]
 
         if iou_type == "masks" and "masks" in output and "masks" in target:
-            ious = get_mask_ious(np.asarray(output["masks"])[order], np.asarray(target["masks"]))
+            iou = get_mask_ious(
+                np.asarray(output["masks"])[order], np.asarray(target["masks"])
+            )
         else:
-            ious = box_iou_np(np.asarray(output["boxes"])[order], np.asarray(target["boxes"]))
-        n_pred, n_true = ious.shape
+            iou = box_iou_np(
+                np.asarray(output["boxes"])[order], np.asarray(target["boxes"])
+            )
+        pi, gi = np.nonzero(iou >= self.iouv.min())
+        self.images.append(_ImageRecord(
+            scores=scores[order],
+            pred_labels=np.asarray(output["labels"])[order].astype(np.int64),
+            gt_labels=np.asarray(target["labels"]).astype(np.int64),
+            pair_pred=pi.astype(np.int64),
+            pair_gt=gi.astype(np.int64),
+            pair_iou=iou[pi, gi].astype(np.float64),
+        ))
 
-        pi, ti = np.where(ious >= self.iouv.min())
-        pair_ious = ious[pi, ti]
-        o2 = np.argsort(-pair_ious, kind="stable")
-        pi, ti, pair_ious = pi[o2], ti[o2], pair_ious[o2]
+    def _resolve_image(self, im: _ImageRecord, ignore: Sequence[int], iouv):
+        """→ (tp_flags (n_pred, n_iouv), keep_pred (n_pred,) bool)."""
+        n_pred = len(im.scores)
+        considered = ~(
+            np.isin(im.gt_labels[im.pair_gt], ignore)
+            | np.isin(im.pred_labels[im.pair_pred], ignore)
+        ) if len(ignore) else np.ones(len(im.pair_pred), bool)
 
-        self.m_pred.append(pi + self.n_pred)
-        self.m_true.append(ti + self.n_true)
-        self.ious.append(pair_ious)
-        self.n_match += len(pair_ious)
-        self.y_true.append(np.asarray(target["labels"]))
-        self.n_true += n_true
-        self.y_pred.append(o_labels)
-        self.scores.append(o_scores)
-        self.n_pred += n_pred
-
-    def _cat(self):
-        cat = lambda xs, dt: np.concatenate(xs).astype(dt) if xs else np.zeros(0, dt)
-        return (
-            cat(self.scores, np.float64), cat(self.y_pred, np.int64),
-            cat(self.y_true, np.int64), cat(self.ious, np.float64),
-            cat(self.m_pred, np.int64), cat(self.m_true, np.int64),
+        m = resolve_one_to_one(
+            im.pair_pred[considered], im.pair_gt[considered],
+            im.pair_iou[considered], n_pred, gt_winner="rank",
         )
+        same = im.gt_labels[m.gt_idx] == im.pred_labels[m.pred_idx]
+        matched_pred, matched_iou = m.pred_idx[same], m.iou[same]
+
+        tp = np.zeros((n_pred, len(iouv)), bool)
+        tp[matched_pred] = matched_iou[:, None] >= iouv
+        keep = np.ones(n_pred, bool)
+        if len(ignore):
+            had_ignored_pair = np.zeros(n_pred, bool)
+            had_ignored_pair[im.pair_pred[~considered]] = True
+            had_ignored_pair[matched_pred] = False
+            keep &= ~had_ignored_pair
+        return tp, keep
 
     def ap_per_class(self, iouv: Optional[np.ndarray] = None,
                      ignore: Sequence[int] = (-100, -1), eps: float = 1e-16):
         if iouv is None:
             iouv = self.iouv
-        scores, y_pred, y_true, ious, m_pred, m_true = self._cat()
+        iouv = np.asarray(iouv)
 
-        matches = np.stack([m_true.astype(np.float64), m_pred.astype(np.float64), ious], -1)
-        if len(ignore):
-            ignored = np.isin(y_true[m_true], ignore) | np.isin(y_pred[m_pred], ignore)
-            if ignored.any():
-                matches = matches[~ignored]
-        else:
-            ignored = np.zeros(0, bool)
-        # 1-vs-1 resolution, exactly the reference order (no re-sort between):
-        matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
-        matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
-        matches = matches[y_true[matches[:, 0].astype(int)] == y_pred[matches[:, 1].astype(int)]]
-        pred_matches = np.zeros((self.n_pred, len(iouv)), bool)
-        pred_matches[matches[:, 1].astype(int)] = matches[:, -1:] >= iouv
+        tp_rows, score_rows, label_rows, gt_rows = [], [], [], []
+        for im in self.images:
+            tp, keep = self._resolve_image(im, ignore, iouv)
+            tp_rows.append(tp[keep])
+            score_rows.append(im.scores[keep])
+            label_rows.append(im.pred_labels[keep])
+            gt_rows.append(im.gt_labels)
 
-        # drop predictions that matched ignored GT (and weren't finally matched)
-        if ignored.any():
-            mask = np.ones(self.n_pred, bool)
-            mask[np.setdiff1d(m_pred[ignored], matches[:, 1].astype(int))] = False
-            pred_matches = pred_matches[mask]
-            pred_scores = scores[mask]
-            pred_labels = y_pred[mask]
-        else:
-            pred_scores, pred_labels = scores, y_pred
-
-        order = np.argsort(-pred_scores, kind="stable")
-        pred_scores, pred_matches, pred_labels = (
-            pred_scores[order], pred_matches[order], pred_labels[order]
+        cat = lambda xs, shape, dt: (
+            np.concatenate(xs).astype(dt) if xs else np.zeros(shape, dt)
         )
+        tp = cat(tp_rows, (0, len(iouv)), bool)
+        scores = cat(score_rows, (0,), np.float64)
+        pred_labels = cat(label_rows, (0,), np.int64)
+        gt_labels = cat(gt_rows, (0,), np.int64)
 
-        px = np.linspace(0, 1, 1000)
-        py, counts, labels = [], [], []
-        ap, p, r = [], [], []
-        for c, n_true in zip(*np.unique(y_true, return_counts=True)):
+        order = np.argsort(-scores, kind="stable")
+        tp, scores, pred_labels = tp[order], scores[order], pred_labels[order]
+
+        px = np.linspace(0, 1, _CURVE_POINTS)
+        labels, counts = [], []
+        curves = {"ap": [], "p": [], "r": [], "py": []}
+        for c, n_gt in zip(*np.unique(gt_labels, return_counts=True)):
             if c in ignore:
                 continue
-            keep = pred_labels == c
             labels.append(int(c))
-            counts.append(int(n_true))
-            if keep.sum() == 0 or n_true == 0:
-                ap.append(np.zeros(len(iouv)))
-                r.append(np.zeros(len(px)))
-                p.append(np.zeros(len(px)))
-                py.append(np.zeros(len(px)))
+            counts.append(int(n_gt))
+            rows = pred_labels == c
+            if n_gt == 0 or not rows.any():
+                curves["ap"].append(np.zeros(len(iouv)))
+                for k in ("p", "r", "py"):
+                    curves[k].append(np.zeros(len(px)))
                 continue
-            fpc = (~pred_matches[keep]).cumsum(0)
-            tpc = pred_matches[keep].cumsum(0)
-            recall = tpc / (n_true + eps)
-            r.append(np.interp(-px, -pred_scores[keep], recall[:, 0], left=0))
-            precision = tpc / (tpc + fpc)
-            p.append(np.interp(-px, -pred_scores[keep], precision[:, 0], left=1))
-            ap.append(np.zeros(len(iouv)))
-            for j in range(pred_matches.shape[1]):
-                ap[-1][j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            p_curve, r_curve, recall, precision = _class_curves(
+                tp[rows], scores[rows], int(n_gt)
+            )
+            curves["p"].append(p_curve)
+            curves["r"].append(r_curve)
+            ap_c = np.zeros(len(iouv))
+            for j in range(len(iouv)):
+                ap_c[j], p_env, r_env = compute_ap(recall[:, j], precision[:, j])
                 if j == 0:
-                    py.append(np.interp(px, mrec, mpre))
+                    curves["py"].append(np.interp(px, r_env, p_env))
+            curves["ap"].append(ap_c)
 
         stats = {
             "labels": labels, "counts": counts, "px": px,
-            "py": np.stack(py) if py else np.zeros((0, len(px))),
-            "ap": np.stack(ap) if ap else np.zeros((0, len(iouv))),
-            "p": np.stack(p) if p else np.zeros((0, len(px))),
-            "r": np.stack(r) if r else np.zeros((0, len(px))),
+            **{
+                k: np.stack(v) if v else np.zeros((0, len(iouv) if k == "ap" else len(px)))
+                for k, v in curves.items()
+            },
         }
         stats["f1"] = 2 * stats["p"] * stats["r"] / (stats["p"] + stats["r"] + eps)
         return stats
