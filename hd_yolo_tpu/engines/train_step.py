@@ -48,10 +48,11 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
     valid[, active]}}}.  Under a mesh, shard batch leaves over 'data' and
     replicate state — jit partitions the rest.
 
-    ``train_flag=False`` runs the model's validation-mode forward (losses AND
-    outputs) inside the step — needed when a loss consumes inference outputs,
-    e.g. HNet's cross-header confliction loss (the reference's double
-    inference+loss pass, hnet/detection/mask_rcnn.py:419-455).
+    ``train_flag=False`` runs the model's validation-mode forward inside the
+    step (frozen batch stats, eval decode).  HNet does NOT need it: its
+    forward reproduces the reference double pass (inference tiles + ROI
+    losses, hnet/detection/mask_rcnn.py:419-455) in train mode, so the
+    confliction loss gets detections while BN stats keep updating.
     """
 
     def loss_fn(params, batch_stats, batch):

@@ -32,6 +32,7 @@ from flax import linen as nn
 
 from ..models.builder import parse_model_cfg
 from ..ops.roi_align import roi_align
+from .feature_mosaic import extract_roi_feature_maps
 from .fpn import FeaturePyramidNetwork
 from .heads import ConstrainModule, PanopticSegHead
 from .mask_rcnn import MaskRCNN
@@ -163,8 +164,9 @@ class HNet(nn.Module):
         self.constrain_cfg = cfg.get("constrains", {})
 
     def extract_amplified(self, feats: Sequence[Array], amp: float) -> List[Array]:
-        """Resample the shared pyramid to a task amplification (the static
-        analog of extract_roi_feature_maps' scale factor, hnet/utils.py:65-147)."""
+        """Whole-pyramid resample for DENSE headers (panoptic/cl), which
+        consume the full image at a task amplification.  Detection headers use
+        the per-ROI path (:meth:`_roi_pyramids`) instead."""
         if amp == 1.0:
             return list(feats)
         out = []
@@ -174,6 +176,142 @@ class HNet(nn.Module):
                 jax.image.resize(f, (B, int(H * amp), int(W * amp), C), "bilinear")
             )
         return out
+
+    # -------------------------------------------------- per-ROI feature plane
+    def _virtual_size(self, win: int, amp: float) -> Tuple[int, int]:
+        """(level-0 cells, virtual px) of a win-px window rendered at amp×."""
+        stride0 = float(self.backbone_strides[0])
+        cells = max(int(round(win / stride0 * amp)), 1)
+        return cells, int(cells * stride0)
+
+    def _roi_pyramids(self, feats, rois_px: Array, win: int, amp: float):
+        """ROI-align a (B, R, 4) px ROI set from every pyramid level at task
+        amplification (extract_roi_feature_maps semantics, hnet/utils.py:65-147:
+        the backbone runs ONCE; amplification is folded into the pooling
+        resolution instead of upsampling the whole map).
+
+        Returns (per-level (B·R, S_l, S_l, C) virtual batch, virtual px size).
+        """
+        cells, v_px = self._virtual_size(win, amp)
+        # amp is already folded into `cells` so every level gets the exact
+        # power-of-two ladder cells >> l (no per-level rounding drift)
+        pyr = extract_roi_feature_maps(
+            list(feats), rois_px, self.backbone_strides, roi_size=cells,
+            amplification=1.0,
+        )
+        B, R = rois_px.shape[:2]
+        flat = [p.reshape(B * R, *p.shape[2:]) for p in pyr]
+        return flat, v_px
+
+    def _project_gt_to_rois(
+        self, t: Dict[str, Array], rois_px: Array, img_hw: Tuple[int, int], v_px: int
+    ) -> Dict[str, Array]:
+        """Image-frame GT → per-ROI virtual-frame targets (B·R batch).
+
+        A GT lands in a ROI when its center is inside; boxes are clipped to
+        the ROI and rescaled to the virtual frame (the static analog of the
+        reference's per-annotation ROI-local targets, hnet/utils.py:116-130).
+        """
+        H, W = img_hw
+        gt_px = t["boxes"] * jnp.asarray([W, H, W, H], jnp.float32)  # (B, T, 4)
+        valid = t["valid"]
+        B, R = rois_px.shape[:2]
+        T = gt_px.shape[1]
+
+        def per_roi(gt, gv, roi):
+            ox, oy = roi[0], roi[1]
+            sw = v_px / jnp.maximum(roi[2] - roi[0], 1e-6)
+            sh = v_px / jnp.maximum(roi[3] - roi[1], 1e-6)
+            local = (gt - jnp.asarray([ox, oy, ox, oy])) * jnp.asarray([sw, sh, sw, sh])
+            cx = (local[:, 0] + local[:, 2]) * 0.5
+            cy = (local[:, 1] + local[:, 3]) * 0.5
+            inside = (cx >= 0) & (cx < v_px) & (cy >= 0) & (cy < v_px)
+            clipped = jnp.clip(local, 0.0, float(v_px))
+            ok = gv & inside & (clipped[:, 2] - clipped[:, 0] > 1.0) \
+                & (clipped[:, 3] - clipped[:, 1] > 1.0)
+            boxes = jnp.where(ok[:, None], clipped / v_px, 0.0)
+            return boxes, ok
+
+        boxes, ok = jax.vmap(
+            jax.vmap(per_roi, in_axes=(None, None, 0)), in_axes=(0, 0, 0)
+        )(gt_px, valid, rois_px)  # (B, R, T, 4), (B, R, T)
+
+        out = {
+            "boxes": boxes.reshape(B * R, T, 4),
+            "valid": ok.reshape(B * R, T),
+            "labels": jnp.broadcast_to(
+                t["labels"][:, None], (B, R, T)
+            ).reshape(B * R, T),
+        }
+        if "masks" in t:
+            m = t["masks"]
+            out["masks"] = jnp.broadcast_to(
+                m[:, None], (B, R) + m.shape[1:]
+            ).reshape((B * R,) + m.shape[1:])
+        return out
+
+    def _maskrcnn_task(
+        self,
+        header: MaskRCNN,
+        hcfg: Dict,
+        feats: Sequence[Array],
+        img_hw: Tuple[int, int],
+        t: Optional[Dict[str, Array]],
+    ):
+        """The reference double pass (mask_rcnn.py:419-455), static shapes:
+
+        pass 1 — inference over a static sliding-window tile grid of the
+        image (always, so cross-header losses see detections in train mode);
+        pass 2 — losses over the batch of annotation ROIs (``t['rois']``),
+        each rendered at the task amplification.
+        """
+        from ..wsi.tiling import sliding_window_grid
+
+        H, W = img_hw
+        amp = float(hcfg.get("amplification", 1.0))
+        win = int(hcfg.get("roi_size") or min(H, W))
+        win = min(win, H, W)
+        B = feats[0].shape[0]
+
+        # ---- pass 1: tile-grid inference, projected back to the image frame
+        grid = sliding_window_grid(H, W, tile=win, overlap=0)  # (Nt, 2) y,x
+        origins = jnp.asarray(grid, jnp.float32)
+        tiles = jnp.concatenate(
+            [origins[:, ::-1], origins[:, ::-1] + float(win)], axis=-1
+        )  # (Nt, 4) xyxy px
+        nt = tiles.shape[0]
+        tile_rois = jnp.broadcast_to(tiles[None], (B, nt, 4))
+        pyr, v_px = self._roi_pyramids(feats, tile_rois, win, amp)
+        o = header.infer(pyr, (v_px, v_px))
+        scale = float(win) / float(v_px)
+        shift = jnp.repeat(tiles[:, :2], 2, axis=-1)  # (Nt, 4) x,y,x,y
+        K = o["boxes"].shape[1]
+        boxes_img = (
+            o["boxes"].reshape(B, nt, K, 4) * scale + shift[None, :, None, :]
+        ).reshape(B, nt * K, 4)
+        o = {k: v.reshape((B, nt * K) + v.shape[2:]) for k, v in o.items()}
+        o["boxes"] = boxes_img
+
+        # ---- pass 2: losses over annotation ROIs
+        losses: Dict[str, Array] = {}
+        if t is not None:
+            if "rois" in t:
+                ann_rois = t["rois"].astype(jnp.float32)          # (B, R, 4) px
+                roi_valid = t.get(
+                    "roi_valid", jnp.ones(ann_rois.shape[:2], bool)
+                )
+            else:  # whole image as the single annotation ROI
+                ann_rois = jnp.broadcast_to(
+                    jnp.asarray([0.0, 0.0, float(W), float(H)])[None, None], (B, 1, 4)
+                )
+                roi_valid = jnp.ones((B, 1), bool)
+            pyr_l, v_l = self._roi_pyramids(feats, ann_rois, win, amp)
+            t_roi = self._project_gt_to_rois(t, ann_rois, img_hw, v_l)
+            losses = header.compute_losses(
+                pyr_l, (v_l, v_l), t_roi,
+                image_weight=roi_valid.reshape(-1).astype(jnp.float32),
+            )
+        return losses, o
 
     def __call__(
         self,
@@ -191,17 +329,15 @@ class HNet(nn.Module):
         for task_id, header in self.headers.items():
             hcfg = self.header_cfg[task_id]
             amp = float(hcfg.get("amplification", 1.0))
-            task_feats = self.extract_amplified(feats, amp)
             t = targets.get(task_id) if targets is not None else None
             if isinstance(header, MaskRCNN):
-                l, o = header(task_feats, (int(H * amp), int(W * amp)), t, train=train)
-                if o:
-                    o = dict(o)
-                    o["boxes"] = o["boxes"] / amp  # back to input frame
+                l, o = self._maskrcnn_task(header, hcfg, feats, (H, W), t)
             elif self.header_cfg[task_id].get("type") in ("cl", "classification"):
+                task_feats = self.extract_amplified(feats, amp)
                 cl_t = t.get("label") if t is not None else None
                 l, o = header(task_feats, cl_t, train=train)
             else:
+                task_feats = self.extract_amplified(feats, amp)
                 seg_t = t.get("seg_map") if t is not None else None
                 l, o = header(task_feats, seg_t, train=train)
             losses[task_id] = l
@@ -214,7 +350,11 @@ class HNet(nn.Module):
                 seg_o = outputs.get(ccfg["seg_task"], {})
                 det_o = outputs.get(ccfg["det_task"], {})
                 if "probs" in seg_o and "boxes" in det_o:
-                    seg_stride = float(self.backbone_strides[0])
+                    seg_amp = float(
+                        self.header_cfg[ccfg["seg_task"]].get("amplification", 1.0)
+                    )
+                    # seg probs live at stride0/amp relative to the image frame
+                    seg_stride = float(self.backbone_strides[0]) / seg_amp
                     scores = jax.nn.one_hot(
                         jnp.clip(det_o["labels"], 0, None), seg_o["probs"].shape[-1]
                     ) * det_o["scores"][..., None]

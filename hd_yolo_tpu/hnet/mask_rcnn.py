@@ -245,32 +245,54 @@ class MaskRCNN(nn.Module):
     ):
         losses: Dict[str, Array] = {}
         outputs: Dict[str, Array] = {}
+        if targets is not None:
+            losses = self.compute_losses(feats, image_size, targets)
+        if not train:
+            outputs = self.infer(feats, image_size)
+        return losses, outputs
+
+    def compute_losses(
+        self,
+        feats: Sequence[Array],
+        image_size: Tuple[int, int],
+        targets: Dict[str, Array],
+        image_weight: Optional[Array] = None,
+    ) -> Dict[str, Array]:
+        """RPN + RoI-head losses; ``image_weight`` (B,) down-weights padded
+        virtual images (invalid annotation-ROI slots) to zero."""
         anchors, rpn_logits, rpn_deltas, proposals, pvalid = self._propose(
             feats, image_size
         )
-        B = rpn_logits.shape[0]
+        gt_boxes = targets["boxes"] * jnp.asarray(
+            [image_size[1], image_size[0], image_size[1], image_size[0]], jnp.float32
+        )
+        gt_valid = targets["valid"]
+        losses = self._rpn_loss(
+            anchors, rpn_logits, rpn_deltas, gt_boxes, gt_valid, image_weight
+        )
+        # train RoI heads on proposals ∪ GT boxes (torchvision adds GT)
+        roi_boxes = jnp.concatenate([proposals, gt_boxes], axis=1)
+        roi_valid = jnp.concatenate([pvalid, gt_valid], axis=1)
+        losses.update(
+            self._roi_loss(feats, roi_boxes, roi_valid, gt_boxes, gt_valid, targets,
+                           image_weight)
+        )
+        return losses
 
-        if targets is not None:
-            gt_boxes = targets["boxes"] * jnp.asarray(
-                [image_size[1], image_size[0], image_size[1], image_size[0]], jnp.float32
-            )
-            gt_valid = targets["valid"]
-            losses.update(
-                self._rpn_loss(anchors, rpn_logits, rpn_deltas, gt_boxes, gt_valid)
-            )
-            # train RoI heads on proposals ∪ GT boxes (torchvision adds GT)
-            T = gt_boxes.shape[1]
-            roi_boxes = jnp.concatenate([proposals, gt_boxes], axis=1)
-            roi_valid = jnp.concatenate([pvalid, gt_valid], axis=1)
-            losses.update(
-                self._roi_loss(feats, roi_boxes, roi_valid, gt_boxes, gt_valid, targets)
-            )
+    def infer(self, feats: Sequence[Array], image_size: Tuple[int, int]):
+        """Detection outputs (always available — also during training, for
+        cross-header losses; the reference's pass 1, mask_rcnn.py:419-435)."""
+        _, _, _, proposals, pvalid = self._propose(feats, image_size)
+        return self._inference(feats, proposals, pvalid, image_size)
 
-        if not train:
-            outputs = self._inference(feats, proposals, pvalid, image_size)
-        return losses, outputs
+    @staticmethod
+    def _wmean(per_image: Array, weight: Optional[Array]) -> Array:
+        if weight is None:
+            return per_image.mean()
+        w = weight.astype(per_image.dtype)
+        return jnp.sum(per_image * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-    def _rpn_loss(self, anchors, logits, deltas, gt_boxes, gt_valid):
+    def _rpn_loss(self, anchors, logits, deltas, gt_boxes, gt_valid, image_weight=None):
         def per_image(lg, dl, gb, gv):
             labels, match = assign_targets(anchors, gb, gv, 0.7, 0.3)
             obj = balanced_bce(lg.astype(jnp.float32), labels)
@@ -280,9 +302,13 @@ class MaskRCNN(nn.Module):
             return obj, reg
 
         obj, reg = jax.vmap(per_image)(logits, deltas.astype(jnp.float32), gt_boxes, gt_valid)
-        return {"rpn_obj_loss": obj.mean(), "rpn_reg_loss": reg.mean()}
+        return {
+            "rpn_obj_loss": self._wmean(obj, image_weight),
+            "rpn_reg_loss": self._wmean(reg, image_weight),
+        }
 
-    def _roi_loss(self, feats, roi_boxes, roi_valid, gt_boxes, gt_valid, targets):
+    def _roi_loss(self, feats, roi_boxes, roi_valid, gt_boxes, gt_valid, targets,
+                  image_weight=None):
         pooled, _ = self._pool(feats, roi_boxes, 7)
         B, R = roi_boxes.shape[:2]
         cls_logits, box_deltas = self.box_head(
@@ -310,7 +336,10 @@ class MaskRCNN(nn.Module):
         cls_l, reg_l, fg, match = jax.vmap(per_image)(
             roi_boxes, roi_valid, gt_boxes, gt_valid, glabels, cls_logits, box_deltas
         )
-        losses = {"roi_cls_loss": cls_l.mean(), "roi_reg_loss": reg_l.mean()}
+        losses = {
+            "roi_cls_loss": self._wmean(cls_l, image_weight),
+            "roi_reg_loss": self._wmean(reg_l, image_weight),
+        }
 
         if self.with_masks and "masks" in targets:
             # mask loss on up to num_detections fg ROIs per image
@@ -320,6 +349,8 @@ class MaskRCNN(nn.Module):
             take = lambda x: jnp.take_along_axis(x, sel, axis=1)
             mb = jnp.take_along_axis(roi_boxes, sel[..., None], axis=1)
             mv = jnp.take_along_axis(fg, sel, axis=1)
+            if image_weight is not None:
+                mv = mv & (image_weight > 0)[:, None]
             mmatch = take(match)
             pooled_m, _ = self._pool(feats, mb, 14)
             B = mb.shape[0]

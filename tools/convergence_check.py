@@ -58,7 +58,7 @@ def hnet_check(steps: int = 700) -> int:
     tx = build_optimizer(v["params"], {"lr0": 0.002, "momentum": 0.9,
                                        "warmup_epochs": 2.0}, 100, 10)
     state = TrainState.create({"params": v["params"], "batch_stats": {}}, tx)
-    step = make_train_step(m, tx, train_flag=False)
+    step = make_train_step(m, tx)  # hnet emits outputs in train mode now
     batch = {"image": x, "targets": targets}
     for _ in range(steps):
         state, met = step(state, batch)
