@@ -26,7 +26,7 @@ from flax import linen as nn
 
 from ..ops.boxes import box_iou, clip_boxes, xywh2xyxy, xyxy2xywh
 from ..ops.nms import batched_nms_padded, nms_padded
-from ..ops.roi_align import multiscale_roi_align
+from ..ops.roi_align import multiscale_roi_align_batched
 
 Array = jnp.ndarray
 
@@ -228,11 +228,9 @@ class MaskRCNN(nn.Module):
         )
         lvl = jnp.floor(jnp.log2(area / 224.0 + 1e-6) + 4.0) - 2  # stride4 level = 0
         lvl = jnp.clip(lvl, 0, len(self.strides) - 1).astype(jnp.int32)
-        pooled = jax.vmap(
-            lambda fs, bx, lv: multiscale_roi_align(
-                fs, bx, lv, self.strides, output_size, chunk=128
-            )
-        )(list(feats), boxes, lvl)
+        pooled = multiscale_roi_align_batched(
+            list(feats), boxes, lvl, self.strides, output_size
+        )
         return pooled, lvl
 
     # --------------------------------------------------------------- forward

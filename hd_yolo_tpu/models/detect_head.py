@@ -382,7 +382,6 @@ class Detect(nn.Module):
         roi_labels_oh = jnp.take_along_axis(labels_oh, top_t[..., None], axis=1)  # (B, R, nc+1)
 
         M = self.mask_output_size // 2
-        # Pallas forward + XLA-matmul backward (roi_align_pallas custom_vjp)
         pooled = multiscale_roi_align_batched(
             list(seg_feats), roi_boxes, roi_levels, self.spec.strides, M
         )

@@ -1,6 +1,7 @@
 """ROI-align parity vs a scalar numpy port of torchvision's exact algorithm."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hd_yolo_tpu.ops import roi_align, multiscale_roi_align
@@ -97,3 +98,38 @@ def test_multiscale_roi_align_selects_level(rng):
     want1 = np_roi_align(np.asarray(feats[1]), boxes[1:], 7, 1 / 16.0, 2)
     np.testing.assert_allclose(got[0], want0[0], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got[1], want1[0], rtol=1e-4, atol=1e-5)
+
+
+def test_canvas_matches_onehot_path(rng):
+    """The canvas multiscale formulation (one pass, level-translated coords
+    with per-ROI bounds) must match the pool-every-level one-hot-select
+    reference path exactly — including ROIs clipped at level borders."""
+    from hd_yolo_tpu.ops.roi_align import multiscale_roi_align_batched
+
+    B, K, C = 2, 17, 8
+    strides = (8.0, 16.0, 32.0, 64.0)
+    feats = [
+        jnp.asarray(rng.standard_normal((B, 64 >> i, 64 >> i, C)).astype(np.float32))
+        for i in range(4)
+    ]
+    boxes = rng.uniform(-40, 520, (B, K, 4)).astype(np.float32)  # some off-edge
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(2, 120, (B, K, 2))
+    boxes = jnp.asarray(boxes)
+    levels = jnp.asarray(rng.integers(0, 4, (B, K)).astype(np.int32))
+    ref = multiscale_roi_align_batched(
+        feats, boxes, levels, strides, 7, use_pallas=False
+    )
+    got = multiscale_roi_align_batched(feats, boxes, levels, strides, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    # gradients w.r.t. features agree too
+    def loss(path):
+        return lambda fs: jnp.sum(
+            multiscale_roi_align_batched(list(fs), boxes, levels, strides, 7,
+                                         use_pallas=path) ** 2
+        )
+
+    g1 = jax.grad(loss(None))(tuple(feats))
+    g2 = jax.grad(loss(False))(tuple(feats))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
