@@ -223,6 +223,13 @@ class DetectionDataset:
     def __getitem__(self, idx: int) -> Dict[str, object]:
         if self.train:
             img, anns = self._train_sample(idx)
+            # mixup of two mosaics behind hyp['mixup'] (the reference recipe,
+            # datasets_masks.py mosaic+mixup path / augmentations.py:271-276)
+            if random.random() < float(self.hyp.get("mixup", 0.0)):
+                from .augment import mixup
+
+                img2, anns2 = self._train_sample(random.randrange(len(self)))
+                img, anns = mixup(img, anns, img2, anns2)
         else:
             img, anns = self.load_image_and_target(idx)
             if self.keep_res > 0:  # fixed µm/px: rescale + center pad/crop
@@ -351,7 +358,7 @@ class DataLoader:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int = 8, shuffle: bool = True,
                  workers: int = 4, infinite: bool = False, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, shard: Optional[Tuple[int, int]] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -359,15 +366,25 @@ class DataLoader:
         self.infinite = infinite
         self.seed = seed
         self.drop_last = drop_last
+        # (rank, world): per-process index slice — the DistributedSampler
+        # analog (ref datasets.py:859).  All ranks shuffle with the same seed
+        # so slices are disjoint and exhaustive.
+        self.shard = shard if shard and shard[1] > 1 else None
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.shard:
+            rank, world = self.shard
+            n = (n - rank + world - 1) // world
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
     def _epoch_indices(self, epoch: int) -> List[int]:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + epoch).shuffle(idx)
+        if self.shard:
+            rank, world = self.shard
+            idx = idx[rank::world]
         if self.drop_last:
             idx = idx[: len(self) * self.batch_size]
         return idx

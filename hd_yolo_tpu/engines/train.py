@@ -76,24 +76,67 @@ class EarlyStopping:
 
 def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
     callbacks = callbacks or Callbacks()
+    # multi-host: one jax.distributed.initialize per process when the env
+    # requests it (rank gating + data sharding below; SURVEY.md §5.8)
+    from ..parallel import is_main_process, maybe_initialize_distributed
+
+    process_index, process_count = maybe_initialize_distributed()
+    main_proc = is_main_process()
     save_dir = opt.save_dir
-    os.makedirs(save_dir, exist_ok=True)
+    if main_proc:
+        os.makedirs(save_dir, exist_ok=True)
     data_info = load_dataset_info(opt.data)
     hyp = load_cfg(opt.hyp)
-    loggers = Loggers(save_dir)
-    loggers.register(callbacks)
+    loggers = Loggers(save_dir) if main_proc else None
+    if loggers:
+        loggers.register(callbacks)
 
     from ..models.builder import parse_model_cfg
 
     spec0 = parse_model_cfg(opt.cfg, hyp)
     hyp = scale_task_hyp(hyp, spec0, opt.img_size)
-    save_cfg(hyp, os.path.join(save_dir, "hyp.yaml"))
+    if main_proc:
+        save_cfg(hyp, os.path.join(save_dir, "hyp.yaml"))
 
     model = Model.from_cfg(
         opt.cfg, hyp,
         dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
         mask_rois=opt.mask_rois, max_masks=opt.max_masks,
     )
+
+    if opt.batch_size == -1:  # HBM-fit estimation (ref train.py:205-209)
+        from .autobatch import autobatch
+
+        def _probe_targets(b):
+            return {
+                h.tag: {
+                    "boxes": jnp.zeros((b, opt.max_targets, 4), jnp.float32),
+                    "labels": jnp.zeros((b, opt.max_targets), jnp.int32),
+                    "masks": jnp.zeros((b, opt.max_targets, 28, 28), jnp.float32),
+                    "valid": jnp.zeros((b, opt.max_targets), bool),
+                }
+                for h in spec0.headers
+            }
+
+        def _probe(b):
+            xp = jnp.zeros((b, opt.img_size, opt.img_size, 3), jnp.float32)
+            tp = _probe_targets(b)
+            vv = model.init(jax.random.PRNGKey(0), xp, tp, train=True,
+                            compute_masks=opt.masks)
+
+            def loss_fn(p):
+                (losses, _), _ = model.apply(
+                    {"params": p, "batch_stats": vv.get("batch_stats", {})},
+                    xp, tp, train=True, compute_masks=opt.masks,
+                    mutable=["batch_stats"],
+                )
+                return model.total_loss(losses, 1.0 if opt.masks else 0.0)
+
+            g = jax.grad(loss_fn)(vv["params"])
+            jax.block_until_ready(g)
+
+        opt.batch_size = autobatch(_probe, fallback=opt.nominal_batch_size)
+        LOGGER.info(f"autobatch: batch_size={opt.batch_size}")
 
     train_ds = DetectionDataset(
         data_info["train"],
@@ -116,21 +159,37 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                                   anchor_t=float(dict(h.loss_hyp).get("anchor_t", 4.0)),
                                   imgsz=opt.img_size)
 
-    train_dl = DataLoader(train_ds, opt.batch_size, workers=opt.workers, infinite=True)
-    val_dl = DataLoader(val_ds, opt.batch_size, workers=opt.workers, shuffle=False,
-                        drop_last=False)
+    # --batch-size is the GLOBAL batch; each process loads its 1/world slice
+    # (DistributedSampler analog) and the mesh stitches the global array
+    assert opt.batch_size % process_count == 0, (opt.batch_size, process_count)
+    local_bs = opt.batch_size // process_count
+    shard = (process_index, process_count) if process_count > 1 else None
+    train_dl = DataLoader(train_ds, local_bs, workers=opt.workers, infinite=True,
+                          shard=shard)
+    val_dl = DataLoader(val_ds, local_bs, workers=opt.workers, shuffle=False,
+                        drop_last=process_count > 1, shard=shard)
     steps_per_epoch = max(len(train_dl), 1)
 
-    # init model/optimizer
-    sample = next(iter(DataLoader(train_ds, 1, workers=1)))
-    x0 = jnp.zeros((opt.batch_size,) + sample["image"].shape[1:], jnp.float32)
-    t0 = jax.tree.map(
-        lambda a: jnp.zeros((opt.batch_size,) + np.asarray(a).shape[1:], np.asarray(a).dtype),
-        jax.tree.map(np.asarray, collate_n(sample, opt.batch_size)["targets"]),
+    # init model/optimizer — inside the mesh so multi-process init produces
+    # global (replicated) arrays; every process runs the identical program
+    mesh = auto_mesh(opt.batch_size)
+    LOGGER.info(
+        f"mesh: {mesh.devices.shape} over {mesh.devices.size} device(s), "
+        f"process {process_index}/{process_count}"
     )
-    variables = jax.jit(
-        lambda k: model.init(k, x0, t0, train=True, compute_masks=opt.masks)
-    )(jax.random.PRNGKey(opt.seed))
+    sample = next(iter(DataLoader(train_ds, 1, workers=1)))
+    local_zeros = {
+        "image": np.zeros((local_bs,) + sample["image"].shape[1:], np.float32),
+        "targets": jax.tree.map(
+            lambda a: np.zeros((local_bs,) + np.asarray(a).shape[1:], np.asarray(a).dtype),
+            jax.tree.map(np.asarray, sample["targets"]),
+        ),
+    }
+    with mesh:
+        z = shard_batch(local_zeros, mesh)
+        variables = jax.jit(
+            lambda k, x, t: model.init(k, x, t, train=True, compute_masks=opt.masks)
+        )(jax.random.PRNGKey(opt.seed), z["image"], z["targets"])
     n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
     LOGGER.info(f"model params: {n_params:,}")
 
@@ -148,35 +207,76 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         best_fitness = float(meta.get("best_fitness", 0.0))
         LOGGER.info(f"resumed from epoch {start_epoch}")
 
-    mesh = auto_mesh(opt.batch_size)
-    LOGGER.info(f"mesh: {mesh.devices.shape} over {mesh.devices.size} device(s)")
     step_fn = make_train_step(model, tx, mask_weight=1.0 if opt.masks else 0.0)
     stopper = EarlyStopping(opt.patience)
     meta_info = data_info.get("meta_info", {})
+
+    # multi-scale training: bucketized sizes (train.py:72-80,447-452) — each
+    # bucket is its own cached jit specialization, so no dynamic shapes
+    scale_sizes = []
+    if getattr(opt, "multi_scale", False):
+        gs = int(max(max(h.strides) for h in spec0.headers))
+        lo, hi = int(opt.img_size * 0.5), int(opt.img_size * 1.5)
+        scale_sizes = sorted({max(gs, (s // gs) * gs) for s in range(lo, hi + 1, gs)})
+        LOGGER.info(f"multi-scale buckets: {scale_sizes}")
+    ms_rng = np.random.default_rng(opt.seed)
 
     callbacks.run("on_train_start")
     train_iter = iter(train_dl)
     final_stats: Dict[str, float] = {}
     with mesh:
         state = replicate(state, mesh)
+        if getattr(opt, "pretrain_val", False):
+            ev0 = {"params": state.ema.params, "batch_stats": state.batch_stats}
+            fit0, _, _ = val_engine.run(
+                model, ev0, ((b["image"], b["targets"]) for b in val_dl),
+                meta_info=meta_info, compute_masks=opt.masks, verbose=False,
+            )
+            LOGGER.info(f"pre-train val (EMA init): fitness={fit0:.4f}")
         for epoch in range(start_epoch, opt.epochs):
             callbacks.run("on_train_epoch_start")
             t_epoch = time.time()
             mloss: Dict[str, float] = {}
             for i in range(steps_per_epoch):
                 batch = shard_batch(next(train_iter), mesh)
+                if scale_sizes:
+                    # same size on every process: seeded by global step
+                    sz = scale_sizes[
+                        np.random.default_rng(opt.seed + epoch * steps_per_epoch + i)
+                        .integers(len(scale_sizes))
+                    ]
+                    if sz != batch["image"].shape[1]:
+                        batch = dict(batch)
+                        batch["image"] = jax.image.resize(
+                            batch["image"],
+                            (batch["image"].shape[0], sz, sz, batch["image"].shape[-1]),
+                            "bilinear",
+                        )  # targets are normalized — no box rescale needed
                 state, metrics = step_fn(state, batch)
                 for k, v in metrics.items():
                     mloss[k] = mloss.get(k, 0.0) + float(v) / steps_per_epoch
                 callbacks.run("on_train_batch_end")
             callbacks.run("on_train_epoch_end", epoch=epoch)
 
-            ev_vars = {"params": state.ema.params, "batch_stats": state.batch_stats}
-            fit, stats, _ = val_engine.run(
-                model, ev_vars,
-                ((b["image"], b["targets"]) for b in val_dl),
-                meta_info=meta_info, compute_masks=opt.masks, verbose=opt.verbose,
-            )
+            # val + checkpoint: rank-0 work (ref train.py:249,296,368,500);
+            # fitness broadcast keeps early-stop/ckpt control flow identical
+            # on every process (ref TODO at train.py:549-561 — fixed here)
+            fit = 0.0
+            stats: Dict[str, Dict[str, float]] = {}
+            if main_proc:
+                ev_vars = {
+                    "params": jax.tree.map(np.asarray, state.ema.params),
+                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                }
+                fit, stats, _ = val_engine.run(
+                    model, ev_vars,
+                    ((b["image"], b["targets"]) for b in val_dl),
+                    meta_info=meta_info, compute_masks=opt.masks, verbose=opt.verbose,
+                )
+            if process_count > 1:
+                from jax.experimental import multihost_utils
+
+                fit = float(multihost_utils.broadcast_one_to_all(jnp.float32(fit)))
             final_stats = {f"{t}/{k}": v for t, s in stats.items() for k, v in s.items()}
             LOGGER.info(
                 f"epoch {epoch}: loss={mloss.get('loss', float('nan')):.4f} "
@@ -189,20 +289,18 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
 
             if fit >= best_fitness:
                 best_fitness = fit
-                save_checkpoint(os.path.join(save_dir, "best"), state, epoch, best_fitness)
-            save_checkpoint(os.path.join(save_dir, "last"), state, epoch, best_fitness)
+                if main_proc:
+                    save_checkpoint(os.path.join(save_dir, "best"), state, epoch, best_fitness)
+            if main_proc:
+                save_checkpoint(os.path.join(save_dir, "last"), state, epoch, best_fitness)
             callbacks.run("on_model_save", epoch=epoch)
             if stopper(epoch, fit):
                 break
 
-    save_inference(os.path.join(save_dir, "final"), state)
+    if main_proc:
+        save_inference(os.path.join(save_dir, "final"), state)
     callbacks.run("on_train_end")
     return {"best_fitness": best_fitness, **final_stats}
-
-
-def collate_n(sample: dict, n: int) -> dict:
-    """Tile a single collated sample to batch size n (for shape init)."""
-    return jax.tree.map(lambda a: np.repeat(np.asarray(a), n, axis=0), sample)
 
 
 def argument_parser() -> argparse.ArgumentParser:
@@ -211,7 +309,12 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg", default="yolov5l6-mask", help="model yaml")
     p.add_argument("--hyp", default="hyp-nuclei", help="hyp yaml")
     p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--batch-size", dest="batch_size", type=int, default=32)
+    p.add_argument("--batch-size", dest="batch_size", type=int, default=32,
+                   help="GLOBAL batch size; -1 = estimate from HBM (autobatch)")
+    p.add_argument("--multi-scale", dest="multi_scale", action="store_true",
+                   help="bucketized 0.5-1.5x image-size jitter per step")
+    p.add_argument("--pretrain-val", dest="pretrain_val", action="store_true",
+                   help="run val on the EMA before epoch 0 (ref train.py:368-375)")
     p.add_argument("--nominal-batch-size", dest="nominal_batch_size", type=int, default=64)
     p.add_argument("--img-size", dest="img_size", type=int, default=640)
     p.add_argument("--patch-size", dest="patch_size", type=int, default=None)

@@ -10,9 +10,12 @@ TPU-first choices:
   * Parameters stored float32, compute in a configurable ``dtype`` (bf16 by
     default in training/inference configs) — no AMP machinery needed.
   * BatchNorm uses the reference's production constants (eps=1e-3,
-    momentum=0.03 → flax momentum 0.97, see ``utils_torch.py:42-51``) and
-    supports cross-replica stat syncing via ``axis_name`` (the pjit-era
-    equivalent of SyncBatchNorm).
+    momentum=0.03 → flax momentum 0.97, see ``utils_torch.py:42-51``).
+    SyncBatchNorm (ref ``train.py:281-283`` convert_sync_batchnorm) needs no
+    wiring here: under ``jit`` over a mesh with the batch axis sharded, the
+    BN mean/var reductions are GLOBAL — XLA inserts the cross-chip
+    collectives — so batch stats are synchronized by construction
+    (regression-tested on an 8-device mesh in tests/test_train.py).
   * ``Focus`` is expressed as space-to-depth + conv so XLA folds it into one
     convolution.
 """

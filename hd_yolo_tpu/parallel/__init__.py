@@ -7,3 +7,8 @@ axis is provisioned for tensor-parallel growth; WSI tile grids shard over
 """
 
 from .mesh import auto_mesh, create_mesh, batch_sharding, replicate, replicated, shard_batch  # noqa: F401
+from .distributed import (  # noqa: F401
+    is_main_process,
+    make_global_batch,
+    maybe_initialize_distributed,
+)

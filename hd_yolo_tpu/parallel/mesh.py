@@ -56,9 +56,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put every array leaf with its leading axis over ``data``."""
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    """Shard every array leaf's leading axis over ``data``.
+
+    Single-process: plain ``device_put``.  Multi-process: each process
+    contributes its local slice of the global batch (see
+    distributed.make_global_batch).
+    """
+    from .distributed import make_global_batch
+
+    return make_global_batch(batch, mesh, batch_sharding(mesh))
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

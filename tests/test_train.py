@@ -122,3 +122,38 @@ def test_freeze_groups():
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["blocks_0"]["conv"]["kernel"]).sum()) == 0.0
     assert float(jnp.abs(updates["header_det"]["det0"]["kernel"]).sum()) > 0.0
+
+
+def test_batchnorm_stats_are_global_under_sharded_jit():
+    """SyncBatchNorm parity (ref train.py:281-283): with the batch axis
+    sharded over 8 devices, BN must accumulate GLOBAL batch statistics (XLA
+    inserts the collectives) — not per-shard stats like plain DDP BN."""
+    import jax.lax as lax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from hd_yolo_tpu.models.layers import ConvBnAct
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8, 1), ("data", "model"))
+    m = ConvBnAct(8, 3)
+    rng = np.random.default_rng(0)
+    # give every device's shard wildly different statistics
+    x = np.concatenate(
+        [rng.normal(3.0 * d, 1.0 + d, (2, 8, 8, 4)) for d in range(8)]
+    ).astype(np.float32)
+    xj = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)), train=True)
+
+    @jax.jit
+    def step(v, x):
+        _, mut = m.apply(v, x, train=True, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    with mesh:
+        stats = step(v, xj)
+    got_mean = np.asarray(stats["bn"]["mean"])
+    conv_w = v["params"]["conv"]["kernel"]
+    xc = lax.conv_general_dilated(
+        jnp.asarray(x), conv_w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    want = np.asarray(jnp.mean(xc, axis=(0, 1, 2))) * (1 - 0.97)  # fresh EMA step
+    np.testing.assert_allclose(got_mean, want, rtol=1e-4, atol=1e-5)

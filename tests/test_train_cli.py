@@ -87,3 +87,25 @@ def test_inference_checkpoint_roundtrip(tmp_path):
         x, train=False, compute_masks=True,
     )
     assert out["det"]["boxes"].shape == (1, 300, 4)
+
+
+@pytest.mark.slow
+def test_train_cli_multiscale_pretrain_val(tmp_path):
+    """--multi-scale (bucketized size jitter) + --pretrain-val flags
+    (ref train.py:72-80,368-375,447-452) run end-to-end."""
+    from hd_yolo_tpu.engines.train import argument_parser, train
+
+    data = make_dataset(tmp_path)
+    save_dir = str(tmp_path / "run_ms")
+    opt = argument_parser().parse_args(
+        [
+            "--data", data, "--cfg", "yolov5s-test", "--hyp", "hyp-nuclei",
+            "--epochs", "1", "--batch-size", "2", "--img-size", "128",
+            "--patch-size", "96", "--no-bf16", "--workers", "2",
+            "--max-targets", "16", "--mask-rois", "4", "--max-masks", "8",
+            "--save-dir", save_dir, "--multi-scale", "--pretrain-val",
+        ]
+    )
+    result = train(opt)
+    assert "best_fitness" in result
+    assert os.path.isdir(os.path.join(save_dir, "final"))
