@@ -125,3 +125,50 @@ class ConstrainModule(nn.Module):
 
         per = jax.vmap(per_image)(seg_probs, det_boxes, det_scores, det_valid)
         return jnp.mean(per)
+
+
+class DynamicConstrainModule(nn.Module):
+    """Mask-weighted cross-header consistency — the active ConstrainModule of
+    the dynamic strategy (``/root/reference/hnet/hnet_dynamic_strategy.py:26-110``).
+
+    Instead of box-mean pooling, each detection's predicted instance mask
+    weights the seg probabilities inside its box:
+
+        P(det d consistent) = Σ_edges v_e ·
+            (Σ_px seg_{i_e}(px)·mask_d(px)) / Σ_px mask_d(px) · p_class(j_e, d)
+
+    pushed to 1 with BCE over valid detections.  ``values`` are per-edge
+    weights (the reference's sparse bipartite-graph ``values``; default 1).
+    """
+
+    edges: Tuple[Tuple[int, int], ...]
+    values: Tuple[float, ...] = ()
+
+    def __call__(
+        self,
+        seg_probs: Array,       # (B, Hs, Ws, n_seg) softmax output
+        det_boxes: Array,       # (B, D, 4) xyxy in the *image* frame
+        det_scores: Array,      # (B, D, n_det) per-class scores
+        det_masks: Array,       # (B, D, m, m) in-box instance mask probs
+        det_valid: Array,       # (B, D) bool
+        seg_stride: float = 1.0,
+    ) -> Array:
+        vals = self.values or (1.0,) * len(self.edges)
+        m = det_masks.shape[-1]
+
+        def per_image(probs, boxes, scores, masks, valid):
+            pooled = roi_align(
+                probs, boxes, m, spatial_scale=1.0 / seg_stride, chunk=128
+            )  # (D, m, m, n_seg) — seg probs sampled on each box at mask res
+            masks = masks.astype(jnp.float32)
+            msum = jnp.maximum(jnp.sum(masks, axis=(-1, -2)), 1e-6)  # (D,)
+            p = jnp.zeros(valid.shape, jnp.float32)
+            for (seg_c, det_c), v in zip(self.edges, vals):
+                area = jnp.sum(pooled[..., seg_c] * masks, axis=(-1, -2)) / msum
+                p = p + float(v) * area * scores[:, det_c]
+            p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+            bce = -jnp.log(p)
+            return jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+        per = jax.vmap(per_image)(seg_probs, det_boxes, det_scores, det_masks, det_valid)
+        return jnp.mean(per)

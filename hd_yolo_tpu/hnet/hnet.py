@@ -33,6 +33,7 @@ from flax import linen as nn
 from ..models.builder import parse_model_cfg
 from ..ops.roi_align import roi_align
 from .feature_mosaic import extract_roi_feature_maps
+from .fcos import FCOS
 from .fpn import FeaturePyramidNetwork
 from .heads import ConstrainModule, PanopticSegHead
 from .mask_rcnn import MaskRCNN
@@ -103,9 +104,15 @@ class HNet(nn.Module):
                 depths=tuple(b.get("depths", (2, 2, 6, 2))),
                 num_heads=tuple(b.get("num_heads", (3, 6, 12, 24))),
                 window_size=b.get("window_size", 7),
+                drop_path_rate=b.get("drop_path_rate", 0.0),
+                drop_rate=b.get("drop_rate", 0.0),
+                attn_drop_rate=b.get("attn_drop_rate", 0.0),
                 dtype=self.dtype,
             )
-            self.backbone_strides = (4.0, 8.0, 16.0, 32.0)
+            # one pyramid level per swin stage (stride 4 · 2^stage)
+            self.backbone_strides = tuple(
+                4.0 * (2.0 ** i) for i in range(len(b.get("depths", (2, 2, 6, 2))))
+            )
         else:
             self.backbone = DarkNetBackbone(
                 width=b.get("width", 0.5), depth=b.get("depth", 0.33), dtype=self.dtype
@@ -115,9 +122,16 @@ class HNet(nn.Module):
             self.backbone_strides = (8.0, 16.0, 32.0)
 
         f = cfg.get("fpn", {})
+        # 'fpn' = full-map fusion (BasicFeaturePyramidNetwork); 'dynamic' =
+        # ROI-align-inside-FPN (DynamicFeaturePyramidNetwork,
+        # backbones.py:107-159) — detection tasks fuse per-ROI crops only.
+        self.fpn_type = f.get("type", "fpn")
+        if self.fpn_type not in ("fpn", "dynamic"):
+            raise ValueError(f"unknown fpn type {self.fpn_type!r}")
         self.fpn = FeaturePyramidNetwork(
             out_channels=f.get("out_channels", 256),
             extra_blocks=f.get("extra_blocks", 0),
+            num_levels=len(self.backbone_strides),
             dtype=self.dtype,
         )
 
@@ -133,6 +147,18 @@ class HNet(nn.Module):
                     num_proposals=h.get("num_proposals", 256),
                     num_detections=h.get("num_detections", 100),
                     with_masks=h.get("with_masks", True),
+                    dtype=self.dtype,
+                    name=f"header_{task_id}",
+                )
+            elif kind == "fcos":
+                headers[task_id] = FCOS(
+                    num_classes=h["num_classes"],
+                    strides=tuple(self.backbone_strides),
+                    pre_nms_topk=h.get("pre_nms_topk", 512),
+                    num_detections=h.get("num_detections", 100),
+                    score_thresh=h.get("score_thresh", 0.05),
+                    nms_thresh=h.get("nms_thresh", 0.5),
+                    size_base=h.get("size_base", 64.0),
                     dtype=self.dtype,
                     name=f"header_{task_id}",
                 )
@@ -157,10 +183,18 @@ class HNet(nn.Module):
         self.headers = headers
         self.header_cfg = cfg.get("headers", {})
 
-        self.constrains = {
-            cid: ConstrainModule(edges=tuple(tuple(e) for e in c["edges"]))
-            for cid, c in cfg.get("constrains", {}).items()
-        }
+        constrains = {}
+        for cid, c in cfg.get("constrains", {}).items():
+            edges = tuple(tuple(e) for e in c["edges"])
+            if c.get("weighting") == "mask":
+                from .heads import DynamicConstrainModule
+
+                constrains[cid] = DynamicConstrainModule(
+                    edges=edges, values=tuple(c.get("values", ()))
+                )
+            else:
+                constrains[cid] = ConstrainModule(edges=edges)
+        self.constrains = constrains
         self.constrain_cfg = cfg.get("constrains", {})
 
     def extract_amplified(self, feats: Sequence[Array], amp: float) -> List[Array]:
@@ -190,11 +224,21 @@ class HNet(nn.Module):
         the backbone runs ONCE; amplification is folded into the pooling
         resolution instead of upsampling the whole map).
 
+        In 'fpn' mode ``feats`` are the fused full-image pyramid (crop after
+        fusion); in 'dynamic' mode they are the raw backbone levels and the
+        FPN convs run on the crops themselves (DynamicFeaturePyramidNetwork,
+        backbones.py:107-159 — FPN compute scales with ROI area).
+
         Returns (per-level (B·R, S_l, S_l, C) virtual batch, virtual px size).
         """
         cells, v_px = self._virtual_size(win, amp)
         # amp is already folded into `cells` so every level gets the exact
         # power-of-two ladder cells >> l (no per-level rounding drift)
+        if self.fpn_type == "dynamic":
+            flat = self.fpn.forward_rois(
+                list(feats), rois_px, self.backbone_strides, roi_size=cells
+            )
+            return flat, v_px
         pyr = extract_roi_feature_maps(
             list(feats), rois_px, self.backbone_strides, roi_size=cells,
             amplification=1.0,
@@ -321,8 +365,19 @@ class HNet(nn.Module):
         compute_masks: bool = True,  # accepted for engine compatibility; masks
     ):                               # are governed by per-header with_masks
         H, W = x.shape[1:3]
-        feats = self.backbone(x, train=train)
-        feats = self.fpn(feats, train=train)
+        raw = self.backbone(x, train=train)
+        dense_tasks = any(
+            not isinstance(h, (MaskRCNN, FCOS)) for h in self.headers.values()
+        )
+        # dynamic mode fuses per-ROI crops inside the FPN for detection tasks;
+        # the full-map fusion only runs if a dense header needs it (same
+        # parameters either way — the reference subclasses the same FPN).
+        feats = (
+            self.fpn(raw, train=train)
+            if (self.fpn_type == "fpn" or dense_tasks)
+            else raw
+        )
+        det_feats = raw if self.fpn_type == "dynamic" else feats
 
         losses: Dict[str, Dict[str, Array]] = {}
         outputs: Dict[str, Dict[str, Array]] = {}
@@ -330,8 +385,8 @@ class HNet(nn.Module):
             hcfg = self.header_cfg[task_id]
             amp = float(hcfg.get("amplification", 1.0))
             t = targets.get(task_id) if targets is not None else None
-            if isinstance(header, MaskRCNN):
-                l, o = self._maskrcnn_task(header, hcfg, feats, (H, W), t)
+            if isinstance(header, (MaskRCNN, FCOS)):
+                l, o = self._maskrcnn_task(header, hcfg, det_feats, (H, W), t)
             elif self.header_cfg[task_id].get("type") in ("cl", "classification"):
                 task_feats = self.extract_amplified(feats, amp)
                 cl_t = t.get("label") if t is not None else None
@@ -358,10 +413,21 @@ class HNet(nn.Module):
                     scores = jax.nn.one_hot(
                         jnp.clip(det_o["labels"], 0, None), seg_o["probs"].shape[-1]
                     ) * det_o["scores"][..., None]
-                    losses.setdefault("constrains", {})[cid] = cm(
-                        seg_o["probs"], det_o["boxes"], scores,
-                        det_o["valid"], seg_stride=seg_stride,
-                    )
+                    from .heads import DynamicConstrainModule
+
+                    if isinstance(cm, DynamicConstrainModule):
+                        masks = det_o.get("masks")
+                        if masks is None:  # no mask branch → uniform box weight
+                            masks = jnp.ones(det_o["valid"].shape + (28, 28), jnp.float32)
+                        losses.setdefault("constrains", {})[cid] = cm(
+                            seg_o["probs"], det_o["boxes"], scores,
+                            masks, det_o["valid"], seg_stride=seg_stride,
+                        )
+                    else:
+                        losses.setdefault("constrains", {})[cid] = cm(
+                            seg_o["probs"], det_o["boxes"], scores,
+                            det_o["valid"], seg_stride=seg_stride,
+                        )
         return losses, outputs
 
     def total_loss(self, losses: Dict[str, Dict[str, Array]], mask_weight: float = 1.0) -> Array:

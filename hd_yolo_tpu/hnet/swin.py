@@ -12,7 +12,10 @@ TPU-first notes (SURVEY.md §7.3 hard part #5):
     dim rather than looped;
   * the shifted-window attention mask and relative-position index are
     computed in numpy at trace time and folded as constants;
-  * shifts use ``jnp.roll`` (lowered to cheap collective-free slices).
+  * shifts use ``jnp.roll`` (lowered to cheap collective-free slices);
+  * stochastic depth (drop-path, linearly ramped over the block sequence) and
+    dropout match the upstream regularizers (swin_transformer.py drop_path /
+    drop_rate / attn_drop) — active only in train mode with a 'dropout' rng.
 
 Feature maps are returned NHWC at strides {4, 8, 16, 32} for the FPN.
 """
@@ -66,15 +69,35 @@ def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+class DropPath(nn.Module):
+    """Stochastic depth: zero a residual branch per sample with prob ``rate``
+    and rescale survivors (swin_transformer.py DropPath/timm semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.rate <= 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
 class WindowAttention(nn.Module):
     dim: int
     window_size: int
     num_heads: int
     qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 train: bool = False) -> Array:
         """x: (B·nW, N=ws², C); mask: (nW, N, N) additive or None."""
         Bn, N, C = x.shape
         h = self.num_heads
@@ -101,9 +124,14 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(Bn, h, N, N)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.attn_drop > 0:
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(Bn, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        if self.proj_drop > 0:
+            out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
 
 
 class SwinBlock(nn.Module):
@@ -112,10 +140,13 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift_size: int = 0
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    drop_rate: float = 0.0
+    attn_drop: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         """x: (B, H, W, C); H, W already padded to multiples of window_size."""
         B, H, W, C = x.shape
         ws = min(self.window_size, H, W)
@@ -131,19 +162,24 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         windows = window_partition(x, ws).reshape(-1, ws * ws, C)
-        attn = WindowAttention(C, ws, self.num_heads, dtype=self.dtype, name="attn")(
-            windows, mask
-        )
+        attn = WindowAttention(C, ws, self.num_heads, attn_drop=self.attn_drop,
+                               proj_drop=self.drop_rate, dtype=self.dtype,
+                               name="attn")(windows, mask, train=train)
         x = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + x
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(x, train=train)
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = jax.nn.gelu(y)
+        if self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
         y = nn.Dense(C, dtype=self.dtype, name="fc2")(y)
-        return x + y
+        if self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
+        return x + dp(y, train=train)
 
 
 class PatchMerging(nn.Module):
@@ -170,6 +206,9 @@ class SwinTransformer(nn.Module):
     mlp_ratio: float = 4.0
     patch_size: int = 4
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    drop_path_rate: float = 0.0   # linearly ramped stochastic depth
+    drop_rate: float = 0.0        # proj/MLP dropout
+    attn_drop_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -183,6 +222,9 @@ class SwinTransformer(nn.Module):
 
         outs: List[Array] = []
         dim = self.embed_dim
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        blk_id = 0
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             # pad to window multiple (static: shapes known at trace time)
             B, H, W, C = x.shape
@@ -193,9 +235,11 @@ class SwinTransformer(nn.Module):
             for blk in range(depth):
                 x = SwinBlock(
                     dim, heads, ws, shift_size=0 if blk % 2 == 0 else ws // 2,
-                    mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                    name=f"stage{stage}_block{blk}",
-                )(x)
+                    mlp_ratio=self.mlp_ratio, drop_path=dpr[blk_id],
+                    drop_rate=self.drop_rate, attn_drop=self.attn_drop_rate,
+                    dtype=self.dtype, name=f"stage{stage}_block{blk}",
+                )(x, train=train)
+                blk_id += 1
             x = x[:, :H, :W]
             if stage in self.out_indices:
                 outs.append(nn.LayerNorm(dtype=self.dtype, name=f"out_norm{stage}")(x))

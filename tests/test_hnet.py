@@ -304,3 +304,138 @@ def test_extract_roi_feature_maps(rng):
     # amplification doubles resolution
     out2 = extract_roi_feature_maps(feats, rois, [8.0, 16.0], roi_size=16, amplification=2.0)
     assert out2[0].shape == (B, R, 32, 32, C)
+
+
+def test_fpn_forward_rois_ladder(rng):
+    """DynamicFPN: per-ROI crops fused with the SAME parameters as the full
+    path; output sizes follow the exact power-of-two ladder."""
+    feats = [jnp.asarray(rng.uniform(0, 1, (2, 2 ** (5 - i), 2 ** (5 - i), 8 * 2**i))
+                         .astype(np.float32)) for i in range(4)]
+    m = FeaturePyramidNetwork(out_channels=16)
+    vars_ = m.init(jax.random.PRNGKey(0), feats)
+    rois = jnp.asarray([[[0.0, 0.0, 64.0, 64.0], [32.0, 32.0, 96.0, 96.0]]] * 2)
+    outs = m.apply(vars_, feats, rois, (4.0, 8.0, 16.0, 32.0), 16,
+                   method=FeaturePyramidNetwork.forward_rois)
+    assert [o.shape for o in outs] == [
+        (4, 16, 16, 16), (4, 8, 8, 16), (4, 4, 4, 16), (4, 2, 2, 16)]
+    # exact equivalence: forward_rois == the shared FPN convs applied to the
+    # extracted crops (same parameters, same fusion stack)
+    from hd_yolo_tpu.hnet.feature_mosaic import extract_roi_feature_maps
+
+    crops = extract_roi_feature_maps(feats, rois, (4.0, 8.0, 16.0, 32.0), roi_size=16)
+    crops = [c.reshape((4,) + c.shape[2:]) for c in crops]
+    expected = m.apply(vars_, crops)
+    for a, b in zip(outs, expected):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_hnet_dynamic_fpn_training(rng):
+    """fpn: {type: dynamic} — ROI-align-inside-FPN + mask-weighted constrain
+    (the hnet_dynamic_strategy variant) converges on synthetic data."""
+    from hd_yolo_tpu.engines.optim import build_optimizer
+    from hd_yolo_tpu.engines.train_step import TrainState, make_train_step
+
+    cfg = {
+        "backbone": {"type": "darknet", "width": 0.25, "depth": 0.33},
+        "fpn": {"out_channels": 32, "type": "dynamic"},
+        "headers": {
+            "det40x": {"type": "maskrcnn", "num_classes": 2, "pre_nms_topk": 64,
+                       "num_proposals": 32, "num_detections": 8,
+                       "anchor_sizes": [16.0, 32.0, 64.0],
+                       "roi_size": 32, "with_masks": True},
+            "seg10x": {"type": "panoptic", "num_classes": 3, "channels": 32},
+        },
+        "constrains": {
+            "c0": {"seg_task": "seg10x", "det_task": "det40x",
+                   "edges": [[1, 1], [2, 2]], "weighting": "mask",
+                   "values": [1.0, 1.0]},
+        },
+    }
+    model = HNet.from_cfg(cfg)
+    B = 1
+    img = rng.uniform(0, 0.2, (B, 64, 64, 3)).astype(np.float32)
+    img[:, 8:24, 8:24] = (1.0, 0.2, 0.2)
+    img[:, 40:56, 40:56] = (0.2, 0.2, 1.0)
+    gt = np.asarray([[[8, 8, 24, 24], [40, 40, 56, 56]]], np.float32) / 64.0
+    rois = np.asarray([[[0, 0, 32, 32], [32, 32, 64, 64]]], np.float32)
+    targets = {
+        "det40x": {
+            "boxes": jnp.asarray(gt),
+            "labels": jnp.asarray([[1, 2]]),
+            "masks": jnp.ones((B, 2, 28, 28), jnp.float32),
+            "valid": jnp.ones((B, 2), bool),
+            "rois": jnp.asarray(rois),
+            "roi_valid": jnp.ones((B, 2), bool),
+        },
+        "seg10x": {"seg_map": jnp.asarray(rng.integers(0, 3, (B, 16, 16)))},
+    }
+    x = jnp.asarray(img)
+    variables = model.init(jax.random.PRNGKey(0), x, targets, train=True)
+
+    tx = build_optimizer(variables["params"], {"lr0": 0.005, "momentum": 0.9}, 10, 10)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx)
+    batch = {"image": x, "targets": targets}
+    state, m0 = step(state, batch)
+    first = float(m0["loss"])
+    assert any("c0" in k for k in m0), list(m0)
+    for _ in range(25):
+        state, met = step(state, batch)
+    last = float(met["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.85, (first, last)
+
+
+def test_dynamic_constrain_mask_weighting(rng):
+    """The mask-weighted consistency: a detection whose mask sits on the
+    'right' seg class scores lower loss than one on the 'wrong' class."""
+    from hd_yolo_tpu.hnet.heads import DynamicConstrainModule
+
+    cm = DynamicConstrainModule(edges=((1, 1),))
+    n_seg = 3
+    seg = np.zeros((1, 16, 16, n_seg), np.float32)
+    seg[..., 1] = 1.0  # whole map is seg class 1
+    boxes = jnp.asarray([[[2.0, 2.0, 10.0, 10.0]]])
+    scores_right = jnp.asarray([[[0.0, 0.9, 0.0]]])
+    scores_wrong = jnp.asarray([[[0.0, 0.0, 0.9]]])
+    masks = jnp.ones((1, 1, 28, 28), jnp.float32)
+    valid = jnp.ones((1, 1), bool)
+    l_right = float(cm(jnp.asarray(seg), boxes, scores_right, masks, valid))
+    l_wrong = float(cm(jnp.asarray(seg), boxes, scores_wrong, masks, valid))
+    assert l_right < l_wrong
+    # zeroing the mask where seg class 1 is absent changes the weighting
+    seg2 = np.zeros_like(seg)
+    seg2[:, :8, :, 1] = 1.0   # top half class 1
+    seg2[:, 8:, :, 2] = 1.0   # bottom half class 2
+    masks_top = np.zeros((1, 1, 28, 28), np.float32)
+    masks_top[:, :, :14, :] = 1.0  # mask concentrated in the top half
+    l_top = float(cm(jnp.asarray(seg2), boxes, scores_right, jnp.asarray(masks_top), valid))
+    l_uni = float(cm(jnp.asarray(seg2), boxes, scores_right, masks, valid))
+    assert l_top < l_uni
+
+
+def test_swin_drop_path_and_dropout(rng):
+    """Stochastic depth + dropout: stochastic in train mode (needs a
+    'dropout' rng), deterministic & identical to rate-0 in eval mode."""
+    from hd_yolo_tpu.hnet.swin import SwinTransformer
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    m = SwinTransformer(embed_dim=16, depths=(1, 1), num_heads=(1, 2),
+                        window_size=4, drop_path_rate=0.5, drop_rate=0.2)
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    # eval mode: no rng needed, deterministic
+    o1 = m.apply(vars_, x, train=False)
+    o2 = m.apply(vars_, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o2[0]))
+
+    # train mode: different dropout keys → different outputs
+    t1 = m.apply(vars_, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = m.apply(vars_, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(t1[-1]) - np.asarray(t2[-1])).max() > 1e-6
+
+    # rate 0 model has identical params tree (drop layers are paramless)
+    m0 = SwinTransformer(embed_dim=16, depths=(1, 1), num_heads=(1, 2), window_size=4)
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v0) == jax.tree.structure(vars_)
