@@ -65,6 +65,7 @@ class Model(nn.Module):
     pre_nms_topk: int = 1024
     max_masks: int = 100
     mask_rois: int = 64
+    dim_reduced: int = 256   # mask-branch channel width (yolo_head.py:114)
 
     @classmethod
     def from_cfg(cls, cfg, hyp=None, **kwargs) -> "Model":
@@ -100,6 +101,7 @@ class Model(nn.Module):
                     pre_nms_topk=self.pre_nms_topk,
                     max_masks=self.max_masks,
                     mask_rois=self.mask_rois,
+                    dim_reduced=self.dim_reduced,
                     name=f"header_{h.tag}",
                 )
         self.headers = headers
