@@ -74,10 +74,42 @@ class _SPPF(nn.Module):
         return self.cv2(torch.cat((x, y1, y2, self.m(y2)), 1))
 
 
-class TorchTrunk(nn.Module):
-    """Torch mirror of the parsed trunk graph + per-level det convs."""
+class _MaskHead(nn.Module):
+    """Torch mirror of the reference mask branch (yolo_head.py:114-130):
+    MaskRCNNHeads(256x4) + deconv predictor, fed by bilinear ROI sampling
+    (grid_sample stands in for torchvision.ops.roi_align, same FLOPs class)."""
 
-    def __init__(self, spec: NetworkSpec):
+    def __init__(self, dim_reduced: int = 256, nc_masks: int = 2, rois: int = 100,
+                 pool: int = 14):
+        super().__init__()
+        self.rois, self.pool = rois, pool
+        self.fcn = nn.Sequential(
+            *[m for _ in range(4) for m in (nn.Conv2d(dim_reduced, dim_reduced, 3, padding=1), nn.ReLU())]
+        )
+        self.deconv = nn.ConvTranspose2d(dim_reduced, dim_reduced, 2, 2)
+        self.logits = nn.Conv2d(dim_reduced, nc_masks, 1)
+        # fixed pseudo-ROI sampling grid: R boxes bilinearly pooled to pool**2
+        g = torch.linspace(-1, 1, pool)
+        gy, gx = torch.meshgrid(g, g, indexing="ij")
+        base = torch.stack([gx, gy], -1)  # (p, p, 2)
+        scale = torch.linspace(0.05, 0.5, rois).view(rois, 1, 1, 1)
+        self.register_buffer("grid", base.unsqueeze(0) * scale)  # (R, p, p, 2)
+
+    def forward(self, feat):  # feat: (1, C, H, W) finest seg feature
+        pooled = nn.functional.grid_sample(
+            feat.expand(self.rois, -1, -1, -1), self.grid, align_corners=False
+        )  # (R, C, p, p) — the roi_align equivalent
+        x = self.fcn(pooled)
+        x = nn.functional.relu(self.deconv(x))
+        return self.logits(x)
+
+
+class TorchTrunk(nn.Module):
+    """Torch mirror of the parsed trunk graph + per-level det convs
+    (+ optionally the seg convs and per-ROI mask head, so the baseline covers
+    the same compute as the masked benchmark)."""
+
+    def __init__(self, spec: NetworkSpec, masks: bool = False, max_masks: int = 100):
         super().__init__()
         self.spec = spec
         ch = {-1: spec.ch_in}
@@ -106,6 +138,14 @@ class TorchTrunk(nn.Module):
             [nn.Conv2d(c, (h.nc + 5) * (len(h.anchors[0]) // 2), 1)
              for h in spec.headers for c in h.in_channels]
         )
+        self.seg = None
+        if masks:
+            nc_masks = max((max(dict(h.masks).values(), default=0)
+                            for h in spec.headers), default=0) + 1
+            self.seg = nn.ModuleList(
+                [_Conv(c, 256, 3) for h in spec.headers for c in h.in_channels]
+            )
+            self.mask_head = _MaskHead(256, nc_masks, rois=max_masks)
 
     def forward(self, x):
         saved = {}
@@ -126,13 +166,28 @@ class TorchTrunk(nn.Module):
             for j in h.from_idx:
                 outs.append(self.det[i](saved[j]))
                 i += 1
+        if self.seg is not None:
+            i = 0
+            seg_feats = []
+            for h in self.spec.headers:
+                for j in h.from_idx:
+                    seg_feats.append(self.seg[i](saved[j]))
+                    i += 1
+            outs.append(self.mask_head(seg_feats[0]))
         return outs
 
 
 def measure_cpu_tiles_per_sec(spec: NetworkSpec, img_size: int = 640, n_warm: int = 1,
-                              n_iter: int = 3) -> float:
-    """Reference-equivalent CPU throughput (fp32, torch inference mode)."""
-    model = TorchTrunk(spec).eval()
+                              n_iter: int = 3, masks: bool = False,
+                              max_masks: int = 100) -> float:
+    """Reference-equivalent CPU throughput (fp32, torch inference mode).
+
+    ``masks=True`` mirrors the benchmark's masked path: per-level seg convs +
+    the 4-conv/deconv mask head over ``max_masks`` bilinearly pooled ROIs —
+    the same compute classes the TPU number includes (NMS excluded on both
+    sides of neither: the TPU number INCLUDES NMS, the CPU baseline gets it
+    free, so the reported ratio is conservative)."""
+    model = TorchTrunk(spec, masks=masks, max_masks=max_masks).eval()
     x = torch.randn(1, spec.ch_in, img_size, img_size)
     with torch.inference_mode():
         for _ in range(n_warm):
