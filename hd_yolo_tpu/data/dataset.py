@@ -62,6 +62,7 @@ class DetectionDataset:
         max_targets: int = 256,
         mask_size: int = 28,
         in_memory: bool = True,
+        cache_images: bool = False,
         root: Optional[str] = None,
     ):
         self.hyp = dict(hyp)
@@ -98,6 +99,12 @@ class DetectionDataset:
 
         self.task_ids = sorted({a["task_id"] for a in self.annotations})
 
+        # decoded-image RAM cache (ref train.py --cache-images): PNG decode is
+        # ~40% of per-sample host time; after the first epoch every read hits
+        # RAM.  uint8 RGB ≈ 1.2 MB per 640² tile.
+        self.cache_images = bool(cache_images)
+        self._img_cache: List[Optional[np.ndarray]] = [None] * len(self.images)
+
     # ------------------------------------------------------------------ loading
     def __len__(self) -> int:
         return len(self.images)
@@ -129,10 +136,16 @@ class DetectionDataset:
 
     def load_image_and_target(self, idx: int) -> Tuple[np.ndarray, Dict[str, Ann]]:
         info = self.images[idx]
-        img = cv2.imread(os.path.join(self.root, info["image_path"]))
+        img = self._img_cache[idx] if self.cache_images else None
         if img is None:
-            raise FileNotFoundError(info["image_path"])
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            img = cv2.imread(os.path.join(self.root, info["image_path"]))
+            if img is None:
+                raise FileNotFoundError(info["image_path"])
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if self.cache_images:
+                img.setflags(write=False)  # shared across threads — keep immutable
+                self._img_cache[idx] = img
+        img = np.asarray(img)
         anns: Dict[str, Ann] = {}
         for ann_idx in info["anns"]:
             task = self.annotations[ann_idx]["task_id"]

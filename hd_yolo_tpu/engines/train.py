@@ -143,10 +143,12 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         {**hyp, "img_size": opt.img_size, "patch_size": opt.patch_size or opt.img_size,
          "k_mosaic": opt.k_mosaic, "keep_res": opt.keep_res},
         train=True, max_targets=opt.max_targets,
+        cache_images=getattr(opt, "cache_images", False),
     )
     val_ds = DetectionDataset(
         data_info["val"], {"img_size": opt.img_size},
         train=False, max_targets=opt.max_targets,
+        cache_images=getattr(opt, "cache_images", False),
     )
     if opt.autoanchor:
         from .autoanchor import check_anchors, dataset_wh
@@ -192,6 +194,43 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         )(jax.random.PRNGKey(opt.seed), z["image"], z["targets"])
     n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
     LOGGER.info(f"model params: {n_params:,}")
+
+    if getattr(opt, "weights", None):
+        # pretrained init (ref train.py --weights): resolve locally (zero
+        # egress — utils/downloads search paths), import torch checkpoints
+        # through the layout converter, or merge a saved flax params tree
+        from ..utils.downloads import attempt_download
+
+        wpath = str(attempt_download(opt.weights))
+        if wpath.endswith((".pt", ".pth")):
+            from ..utils.import_torch import load_torch_weights
+
+            imported = load_torch_weights(wpath, spec0)
+        else:
+            import pickle
+
+            with open(wpath, "rb") as f:
+                imported = pickle.load(f)
+
+        def _merge(dst, src):
+            out = dict(dst)
+            n_hit = 0
+            for k, v in src.items():
+                if k in out:
+                    if isinstance(v, dict) and isinstance(out[k], dict):
+                        out[k], h = _merge(out[k], v)
+                        n_hit += h
+                    elif getattr(out[k], "shape", None) == getattr(v, "shape", None):
+                        out[k] = jnp.asarray(v)
+                        n_hit += 1
+            return out, n_hit
+
+        new_params, hits = _merge(variables["params"], imported.get("params", {}))
+        new_stats, _ = _merge(
+            variables.get("batch_stats", {}), imported.get("batch_stats", {})
+        )
+        variables = {**variables, "params": new_params, "batch_stats": new_stats}
+        LOGGER.info(f"loaded pretrained weights from {wpath} ({hits} tensors)")
 
     tx = build_optimizer(
         variables["params"], hyp, opt.epochs, steps_per_epoch,
@@ -308,6 +347,8 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", required=True, help="data yaml")
     p.add_argument("--cfg", default="yolov5l6-mask", help="model yaml")
     p.add_argument("--hyp", default="hyp-nuclei", help="hyp yaml")
+    p.add_argument("--weights", default="", help="pretrained weights "
+                   "(torch .pt via importer, or pickled flax params)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", dest="batch_size", type=int, default=32,
                    help="GLOBAL batch size; -1 = estimate from HBM (autobatch)")
@@ -327,6 +368,8 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--patience", type=int, default=30)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--cache-images", dest="cache_images", action="store_true",
+                   help="RAM-cache decoded images (ref train.py --cache)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-targets", dest="max_targets", type=int, default=256)
     p.add_argument("--mask-rois", dest="mask_rois", type=int, default=64)

@@ -197,3 +197,27 @@ def test_mixup_and_copy_paste(rng):
     out_img, out_ann = copy_paste(img3, ann, p=1.0)
     assert out_ann["boxes"].shape == (2, 4)
     assert out_img[6, 32 - 5].sum() > 0  # mirrored pixels pasted
+
+
+def test_image_cache_identical_and_immutable(synthetic_dataset):
+    """cache_images: identical pixels/targets as the uncached path, cache is
+    populated after first touch, and cached arrays are write-protected."""
+    from hd_yolo_tpu.data.dataset import DetectionDataset
+
+    hyp = {"img_size": 96}
+    plain = DetectionDataset(synthetic_dataset, hyp, train=False, max_targets=8)
+    cached = DetectionDataset(synthetic_dataset, hyp, train=False, max_targets=8,
+                              cache_images=True)
+    for i in range(len(plain)):
+        a = plain[i]
+        b1 = cached[i]
+        b2 = cached[i]  # second read hits the cache
+        np.testing.assert_array_equal(a["image"], b1["image"])
+        np.testing.assert_array_equal(b1["image"], b2["image"])
+        np.testing.assert_array_equal(
+            np.asarray(a["targets"]["det"]["boxes"]),
+            np.asarray(b2["targets"]["det"]["boxes"]),
+        )
+    assert all(im is not None for im in cached._img_cache)
+    assert all(not im.flags.writeable for im in cached._img_cache)
+    assert all(im is None for im in plain._img_cache)

@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Flagship quality check: train the FULL yolov5l6-mask through the real CLI
+(`engines.train.train`) on a generated NuCLS-format dataset and report final
+box + mask fitness (VERDICT r1 #6b).
+
+The dataset generator emits the same on-disk schema as the NuCLS converters
+(index csv → per-image npz with polygon masks): H&E-looking 640px tiles with
+elliptical nuclei in 4 core classes, distinguishable by color/size so the
+model can actually learn them.
+
+Run (real TPU):  python tools/flagship_train_check.py --epochs 60
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CLASS_COLORS = {  # class → mean BGR-ish stain color
+    1: (120, 60, 160),   # tumor: large purple
+    2: (160, 120, 190),  # stromal: elongated light
+    3: (90, 40, 110),    # sTILs: small dark
+    4: (140, 100, 150),  # other
+}
+CLASS_AXES = {1: (22, 18), 2: (26, 10), 3: (10, 9), 4: (16, 14)}
+
+
+def make_nucls_dataset(root: Path, n_images: int = 32, img_size: int = 640,
+                       nuclei_per_tile: int = 40, seed: int = 0) -> str:
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    root.mkdir(parents=True, exist_ok=True)
+    for i in range(n_images):
+        img = np.full((img_size, img_size, 3), 230, np.uint8)
+        img += rng.integers(-12, 12, img.shape).astype(np.uint8)
+        boxes, labels, polys = [], [], []
+        for _ in range(nuclei_per_tile):
+            c = int(rng.integers(1, 5))
+            ax, ay = CLASS_AXES[c]
+            ax = max(int(ax * rng.uniform(0.8, 1.25)), 4)
+            ay = max(int(ay * rng.uniform(0.8, 1.25)), 4)
+            cx = int(rng.integers(ax + 2, img_size - ax - 2))
+            cy = int(rng.integers(ay + 2, img_size - ay - 2))
+            ang = int(rng.integers(0, 180))
+            poly = cv2.ellipse2Poly((cx, cy), (ax, ay), ang, 0, 360, 12)
+            col = tuple(int(v + rng.integers(-15, 15)) for v in CLASS_COLORS[c])
+            cv2.fillPoly(img, [poly], col)
+            x1, y1 = poly.min(0)
+            x2, y2 = poly.max(0)
+            boxes.append([x1, y1, x2, y2])
+            labels.append(c)
+            polys.append([poly.astype(np.float64)])
+        cv2.imwrite(str(root / f"tile{i}.png"), img)
+        parr = np.empty(len(polys), object)
+        for j, pl in enumerate(polys):
+            parr[j] = pl
+        np.savez(root / f"tile{i}.npz",
+                 boxes=np.asarray(boxes, np.float32),
+                 labels=np.asarray(labels, np.int64),
+                 masks=parr, size=np.array([img_size, img_size]))
+        rows.append(f"tile{i}.png,t{i},a{i},tile{i}.npz,detSC,poly")
+
+    csv = root / "index.csv"
+    csv.write_text(
+        "image_path,image_id,ann_id,ann_path,task_id,mask_mode\n" + "\n".join(rows) + "\n"
+    )
+    import yaml
+
+    meta = {"detSC": {"labels_text": {1: "tumor", 2: "stromal", 3: "sTILs", 4: "other"}}}
+    data_yaml = root / "data.yaml"
+    data_yaml.write_text(yaml.safe_dump(
+        {"train": str(csv), "val": str(csv), "tasks": ["detSC"], "meta_info": meta}
+    ))
+    return str(data_yaml)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--images", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--out", default=None, help="dataset/run dir (default: tmp)")
+    opt0 = p.parse_args(argv)
+
+    root = Path(opt0.out or tempfile.mkdtemp(prefix="nucls_synth_"))
+    data = make_nucls_dataset(root / "data", n_images=opt0.images,
+                              img_size=opt0.img_size)
+    print(f"dataset: {data}", flush=True)
+
+    from hd_yolo_tpu.engines.train import argument_parser, train
+
+    opt = argument_parser().parse_args([
+        "--data", data, "--cfg", "yolov5l6-mask", "--hyp", "hyp-nuclei",
+        "--epochs", str(opt0.epochs), "--batch-size", str(opt0.batch_size),
+        "--img-size", str(opt0.img_size), "--masks",
+        "--workers", "8", "--max-targets", "64", "--mask-rois", "32",
+        "--max-masks", "64", "--k-mosaic", "1", "--patience", "10000",
+        "--save-dir", str(root / "run"),
+    ])
+    result = train(opt)
+    print(json.dumps({"flagship_train": {k: (float(v) if isinstance(v, (int, float)) else v)
+                                         for k, v in result.items() if k != "state"}}),
+          flush=True)
+    lines = (root / "run" / "results.json").read_text().strip().splitlines()
+    last = json.loads(lines[-1])
+    print("last epoch row:", json.dumps(last), flush=True)
+
+    # final mask-IoU fitness on the saved inference checkpoint
+    import jax
+    from hd_yolo_tpu.config import load_cfg, load_dataset_info
+    from hd_yolo_tpu.data.dataset import DataLoader, DetectionDataset
+    from hd_yolo_tpu.engines import val as val_engine
+    from hd_yolo_tpu.engines.checkpoint import load_inference
+    from hd_yolo_tpu.models import Model
+
+    info = load_dataset_info(data)
+    hyp = load_cfg("hyp-nuclei")
+    model = Model.from_cfg("yolov5l6-mask", hyp, max_masks=64, mask_rois=32)
+    ev = load_inference(str(root / "run" / "final"))
+    vds = DetectionDataset(info["val"], {"img_size": opt0.img_size},
+                           train=False, max_targets=64)
+    vdl = DataLoader(vds, opt0.batch_size, workers=4, shuffle=False, drop_last=False)
+    fit_m, stats_m, _ = val_engine.run(
+        model, ev, ((b["image"], b["targets"]) for b in vdl),
+        meta_info=info.get("meta_info", {}), compute_masks=True,
+        iou_type="masks", verbose=False,
+    )
+    print(json.dumps({"mask_fitness": fit_m,
+                      "mask_stats": {t: s for t, s in stats_m.items()}}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
