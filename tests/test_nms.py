@@ -125,3 +125,60 @@ def test_nms_per_image_shapes_and_filtering(rng):
         batch
     )
     assert outs["boxes"].shape == (3, 32, 4)
+
+
+def test_pallas_nms_matches_xla(rng):
+    """The VMEM-resident Pallas sweep must be bit-identical to the XLA
+    formulation (interpret mode on CPU; hardware is exercised by bench/WSI)."""
+    from hd_yolo_tpu.ops.pallas_nms import nms_padded_pallas
+
+    for K, thr in ((128, 0.45), (384, 0.3), (1024, 0.6)):
+        b = np.concatenate(
+            [rng.uniform(0, 600, (K, 2)), rng.uniform(4, 64, (K, 2))], -1
+        ).astype(np.float32)
+        b[:, 2:] += b[:, :2]
+        s = rng.uniform(0, 1, K).astype(np.float32)
+        v = rng.uniform(0, 1, K) > 0.1
+        i1, k1 = nms_padded(jnp.asarray(b), jnp.asarray(s), jnp.asarray(v), thr, 300)
+        i2, k2 = nms_padded_pallas(jnp.asarray(b), jnp.asarray(s), jnp.asarray(v),
+                                   thr, 300, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+    # degenerate probes: all invalid, duplicates, non-multiple-of-128 K
+    K = 200
+    b = np.tile(np.asarray([[10, 10, 50, 50]], np.float32), (K, 1))
+    s = np.linspace(1, 0, K).astype(np.float32)
+    v = np.ones(K, bool)
+    i1, k1 = nms_padded(jnp.asarray(b), jnp.asarray(s), jnp.asarray(v), 0.45, 16)
+    i2, k2 = nms_padded_pallas(jnp.asarray(b), jnp.asarray(s), jnp.asarray(v),
+                               0.45, 16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    assert int(np.asarray(k2).sum()) == 1
+    v0 = np.zeros(K, bool)
+    _, k3 = nms_padded_pallas(jnp.asarray(b), jnp.asarray(s), jnp.asarray(v0),
+                              0.45, 16, interpret=True)
+    assert int(np.asarray(k3).sum()) == 0
+
+
+def test_presorted_fast_path_identical(rng):
+    """presorted=True on already-sorted inputs == full argsort path."""
+    from hd_yolo_tpu.ops.pallas_nms import nms_padded_pallas
+
+    K = 300
+    b = np.concatenate([rng.uniform(0, 600, (K, 2)), rng.uniform(4, 64, (K, 2))], -1
+                       ).astype(np.float32)
+    b[:, 2:] += b[:, :2]
+    s = rng.uniform(0, 1, K).astype(np.float32)
+    v = rng.uniform(0, 1, K) > 0.2
+    order = np.argsort(-np.where(v, s, -np.inf), kind="stable")
+    bs, ss, vs = b[order], s[order], v[order]
+    i0, k0 = nms_padded(jnp.asarray(bs), jnp.asarray(ss), jnp.asarray(vs), 0.45, 100)
+    i1, k1 = nms_padded(jnp.asarray(bs), jnp.asarray(ss), jnp.asarray(vs), 0.45, 100,
+                        presorted=True)
+    i2, k2 = nms_padded_pallas(jnp.asarray(bs), jnp.asarray(ss), jnp.asarray(vs),
+                               0.45, 100, presorted=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k2))
