@@ -224,3 +224,109 @@ def convert_to_coco(index_csv: str, out_json: str, root: Optional[str] = None):
     with open(out_json, "w") as f:
         json.dump(coco, f)
     return coco
+
+
+def convert_to_yolo(index_csv: str, out_dir: str, root: Optional[str] = None,
+                    masks_dir: Optional[str] = None):
+    """Native index → ultralytics yolo-txt layout (images/ + labels/)
+    (``convert_nucls_dataset.py:336-377`` semantics: class ids shift to
+    0-based, boxes become normalized cxcywh; optional per-image mask pickles).
+    """
+    import pickle
+    import shutil
+
+    import pandas as pd
+
+    from .dataset import load_annotation_file
+
+    root = root or os.path.dirname(index_csv)
+    img_dir = os.path.join(out_dir, "images")
+    lbl_dir = os.path.join(out_dir, "labels")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lbl_dir, exist_ok=True)
+    if masks_dir:
+        os.makedirs(masks_dir, exist_ok=True)
+
+    df = pd.read_csv(index_csv)
+    for _, row in df.iterrows():
+        image_id = str(row["image_id"])
+        src = os.path.join(root, row["image_path"])
+        shutil.copy2(src, os.path.join(img_dir, f"{image_id}.png"))
+        raw = load_annotation_file(os.path.join(root, row["ann_path"]))
+        h, w = (int(s) for s in np.asarray(raw["size"]).reshape(-1)[:2])
+        boxes = np.asarray(raw["boxes"], np.float32).reshape(-1, 4)
+        labels = np.asarray(raw["labels"]).reshape(-1)
+        lines = []
+        for (x0, y0, x1, y1), label in zip(boxes, labels):
+            cls = (int(label) - 1) if label > 0 else int(label)
+            lines.append(
+                f"{cls} {(x0 + x1) / 2 / w} {(y0 + y1) / 2 / h} "
+                f"{(x1 - x0) / w} {(y1 - y0) / h}"
+            )
+        with open(os.path.join(lbl_dir, f"{image_id}.txt"), "w") as f:
+            f.write("\n".join(lines))
+        if masks_dir:
+            with open(os.path.join(masks_dir, f"{image_id}.pkl"), "wb") as f:
+                pickle.dump(list(raw.get("masks", [])), f,
+                            protocol=pickle.HIGHEST_PROTOCOL)
+    return out_dir
+
+
+def convert_to_detectron2(index_csv: str, out_file: Optional[str] = None,
+                          root: Optional[str] = None):
+    """Native index → detectron2 dataset-dict records
+    (``convert_nucls_dataset.py:380-445`` semantics, without the detectron2
+    dependency: bbox_mode is the XYXY_ABS enum VALUE (0), segmentation is the
+    flattened-xy polygon list).  Returns the records; optionally pickles them.
+    """
+    import pickle
+
+    import pandas as pd
+
+    from .dataset import load_annotation_file
+    from .mask import Mask
+
+    root = root or os.path.dirname(index_csv)
+    df = pd.read_csv(index_csv)
+    records = []
+    for image_idx, (_, row) in enumerate(df.iterrows()):
+        raw = load_annotation_file(os.path.join(root, row["ann_path"]))
+        size = tuple(int(s) for s in np.asarray(raw["size"]).reshape(-1)[:2])
+        h, w = size
+        rec = {
+            "file_name": os.path.join(root, row["image_path"]),
+            "image_id": image_idx,
+            "height": h,
+            "width": w,
+            "annotations": [],
+        }
+        boxes = np.asarray(raw["boxes"], np.float32).reshape(-1, 4)
+        labels = np.asarray(raw["labels"]).reshape(-1)
+        masks = list(raw.get("masks", [None] * len(boxes)))
+        for i, (b, label) in enumerate(zip(boxes, labels)):
+            x0, x1 = sorted((float(b[0]), float(b[2])))
+            y0, y1 = sorted((float(b[1]), float(b[3])))
+            x0, x1 = max(0.0, x0), min(float(w), x1)
+            y0, y1 = max(0.0, y0), min(float(h), y1)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            ann = {
+                "bbox": [x0, y0, x1, y1],
+                "bbox_mode": 0,  # detectron2 BoxMode.XYXY_ABS
+                "category_id": (int(label) - 1) if label > 0 else int(label),
+                "segmentation": [],
+            }
+            m = masks[i] if i < len(masks) else None
+            if m is not None and len(np.atleast_1d(m)):
+                polys = Mask(m, size, str(row.get("mask_mode", "poly"))).poly().data
+                ann["segmentation"] = [
+                    np.asarray(p, np.float64).reshape(-1).tolist() for p in polys
+                ]
+            rec["annotations"].append(ann)
+        records.append(rec)
+
+    if out_file:
+        os.makedirs(os.path.dirname(os.path.abspath(out_file)), exist_ok=True)
+        with open(out_file, "wb") as f:
+            pickle.dump(records, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return records

@@ -299,10 +299,16 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
 
             # val + checkpoint: rank-0 work (ref train.py:249,296,368,500);
             # fitness broadcast keeps early-stop/ckpt control flow identical
-            # on every process (ref TODO at train.py:549-561 — fixed here)
+            # on every process (ref TODO at train.py:549-561 — fixed here).
+            # --val-interval generalizes the reference's --noval (val only on
+            # schedule + always on the final epoch).
             fit = 0.0
             stats: Dict[str, Dict[str, float]] = {}
-            if main_proc:
+            do_val = (
+                (epoch + 1) % max(getattr(opt, "val_interval", 1), 1) == 0
+                or epoch == opt.epochs - 1
+            )
+            if main_proc and do_val:
                 ev_vars = {
                     "params": jax.tree.map(np.asarray, state.ema.params),
                     "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
@@ -367,6 +373,9 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--cos-lr", dest="cos_lr", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--patience", type=int, default=30)
+    p.add_argument("--val-interval", dest="val_interval", type=int, default=1,
+                   help="validate every N epochs (ref --noval analog; final "
+                        "epoch always validates)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--cache-images", dest="cache_images", action="store_true",
                    help="RAM-cache decoded images (ref train.py --cache)")

@@ -120,3 +120,45 @@ def test_rest_serving(detector, rng):
         assert isinstance(payload, list)
     finally:
         server.shutdown()
+
+
+def test_convert_to_yolo_and_detectron2(tmp_path):
+    import cv2
+
+    from hd_yolo_tpu.data.nucls import convert_to_detectron2, convert_to_yolo
+
+    cv2.imwrite(str(tmp_path / "img.png"),
+                np.zeros((32, 32, 3), np.uint8))
+    boxes = np.array([[5, 5, 25, 25], [0, 0, 2, 40]], np.float32)  # 2nd clips
+    polys = np.empty(2, object)
+    polys[0] = [np.array([[5, 5], [25, 5], [25, 25], [5, 25]], np.float32)]
+    polys[1] = []
+    np.savez(tmp_path / "a0.npz", boxes=boxes, labels=np.array([1, 2]),
+             masks=polys, size=np.array([32, 32]))
+    (tmp_path / "index.csv").write_text(
+        "image_path,image_id,ann_id,ann_path,task_id,mask_mode\n"
+        "img.png,im0,a0,a0.npz,det,poly\n"
+    )
+
+    out = convert_to_yolo(str(tmp_path / "index.csv"), str(tmp_path / "yolo"),
+                          masks_dir=str(tmp_path / "yolo_masks"))
+    lines = (tmp_path / "yolo" / "labels" / "im0.txt").read_text().splitlines()
+    assert len(lines) == 2
+    cls, cx, cy, w, h = lines[0].split()
+    assert cls == "0"  # 1-based → 0-based
+    np.testing.assert_allclose([float(cx), float(cy), float(w), float(h)],
+                               [15 / 32, 15 / 32, 20 / 32, 20 / 32])
+    assert (tmp_path / "yolo" / "images" / "im0.png").exists()
+    assert (tmp_path / "yolo_masks" / "im0.pkl").exists()
+
+    recs = convert_to_detectron2(str(tmp_path / "index.csv"),
+                                 str(tmp_path / "d2.pkl"))
+    assert len(recs) == 1
+    anns = recs[0]["annotations"]
+    assert len(anns) == 2
+    assert anns[0]["bbox_mode"] == 0 and anns[0]["category_id"] == 0
+    assert anns[0]["bbox"] == [5.0, 5.0, 25.0, 25.0]
+    assert len(anns[0]["segmentation"]) >= 1  # flattened-xy polygon list
+    assert anns[1]["bbox"] == [0.0, 0.0, 2.0, 32.0]  # clipped to image
+    assert anns[1]["segmentation"] == []
+    assert (tmp_path / "d2.pkl").exists()

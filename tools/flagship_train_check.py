@@ -83,7 +83,8 @@ def make_nucls_dataset(root: Path, n_images: int = 32, img_size: int = 640,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--val-interval", type=int, default=10)
     p.add_argument("--images", type=int, default=32)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--img-size", type=int, default=640)
@@ -103,7 +104,9 @@ def main(argv=None):
         "--img-size", str(opt0.img_size), "--masks",
         "--workers", "8", "--max-targets", "64", "--mask-rois", "32",
         "--max-masks", "64", "--k-mosaic", "1", "--patience", "10000",
-        "--save-dir", str(root / "run"),
+        "--cache-images", "--val-interval", str(opt0.val_interval),
+        "--nominal-batch-size", str(opt0.batch_size),  # no accumulation: one
+        "--save-dir", str(root / "run"),               # update per step
     ])
     result = train(opt)
     print(json.dumps({"flagship_train": {k: (float(v) if isinstance(v, (int, float)) else v)
