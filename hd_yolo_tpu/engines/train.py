@@ -334,9 +334,15 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
 
             if fit >= best_fitness:
                 best_fitness = fit
-                if main_proc:
+                if main_proc and do_val:
                     save_checkpoint(os.path.join(save_dir, "best"), state, epoch, best_fitness)
-            if main_proc:
+            # 'last' on schedule (--save-interval) + always on the final epoch:
+            # a full TrainState is ~1 GB at flagship size — every-epoch writes
+            # can dominate wall-clock on slow disks
+            if main_proc and (
+                (epoch + 1) % max(getattr(opt, "save_interval", 1), 1) == 0
+                or epoch == opt.epochs - 1
+            ):
                 save_checkpoint(os.path.join(save_dir, "last"), state, epoch, best_fitness)
             callbacks.run("on_model_save", epoch=epoch)
             if stopper(epoch, fit):
@@ -373,6 +379,9 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--cos-lr", dest="cos_lr", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--patience", type=int, default=30)
+    p.add_argument("--save-interval", dest="save_interval", type=int, default=1,
+                   help="write the 'last' checkpoint every N epochs (final "
+                        "epoch always saves)")
     p.add_argument("--val-interval", dest="val_interval", type=int, default=1,
                    help="validate every N epochs (ref --noval analog; final "
                         "epoch always validates)")

@@ -105,6 +105,7 @@ def main(argv=None):
         "--workers", "8", "--max-targets", "64", "--mask-rois", "32",
         "--max-masks", "64", "--k-mosaic", "1", "--patience", "10000",
         "--cache-images", "--val-interval", str(opt0.val_interval),
+        "--save-interval", str(opt0.val_interval),
         "--nominal-batch-size", str(opt0.batch_size),  # no accumulation: one
         "--save-dir", str(root / "run"),               # update per step
     ])
