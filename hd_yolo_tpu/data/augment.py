@@ -250,6 +250,39 @@ def apply_projective(img: np.ndarray, ann: Ann, M: np.ndarray) -> Tuple[np.ndarr
     }
 
 
+def apply_transpose(img: np.ndarray, ann: Ann) -> Tuple[np.ndarray, Ann]:
+    """Diagonal flip (x↔y swap) of image, boxes and masks
+    (``datasets.py:392-414`` transpose_image_target/transpose_annotation)."""
+    img = np.ascontiguousarray(np.swapaxes(img, 0, 1))
+    boxes = np.asarray(ann["boxes"], np.float32).reshape(-1, 4)
+    boxes = boxes[:, [1, 0, 3, 2]] if len(boxes) else boxes
+    masks = [m.transpose() if m is not None else None
+             for m in ann.get("masks", [None] * len(boxes))]
+    return img, {"boxes": boxes, "labels": np.asarray(ann["labels"]), "masks": masks}
+
+
+def random_photometric(img: np.ndarray, hyp: Dict) -> np.ndarray:
+    """The reference's Albumentations extras (``augmentations.py:24-31``:
+    Blur / MedianBlur / ToGray / CLAHE, each p=0.01) rebuilt on cv2 so the
+    dependency stays optional-free.  Image-only — boxes/masks untouched."""
+    p = float(hyp.get("photometric", 0.01))
+    if p <= 0:
+        return img
+    if random.random() < p:
+        img = cv2.blur(img, (3, 3))
+    if random.random() < p:
+        img = cv2.medianBlur(img, 3)
+    if random.random() < p:
+        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        img = cv2.cvtColor(g, cv2.COLOR_GRAY2RGB)
+    if random.random() < p:
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        lab[..., 0] = clahe.apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    return img
+
+
 def apply_flips(img: np.ndarray, ann: Ann, do_lr: bool, do_ud: bool) -> Tuple[np.ndarray, Ann]:
     h, w = img.shape[:2]
     boxes = np.asarray(ann["boxes"], np.float32).reshape(-1, 4).copy()
@@ -308,11 +341,17 @@ def train_proc_multi(img: np.ndarray, anns: Dict[str, Ann], hyp: Dict
         warped = w_img
     img = warped if warped is not None else img
 
+    img = random_photometric(img, hyp)
+
     do_lr = random.random() < hyp.get("fliplr", 0.5)
     do_ud = random.random() < hyp.get("flipud", 0.5)
+    do_tr = img.shape[0] == img.shape[1] and random.random() < hyp.get("transpose", 0.0)
     flipped = None
     out2 = {}
     for task, a in out.items():
-        f_img, out2[task] = apply_flips(img, a, do_lr, do_ud)
+        f_img, a2 = apply_flips(img, a, do_lr, do_ud)
+        if do_tr:  # datasets.py:424-425 (square tiles only — shape is static)
+            f_img, a2 = apply_transpose(f_img, a2)
+        out2[task] = a2
         flipped = f_img
     return (flipped if flipped is not None else img), out2

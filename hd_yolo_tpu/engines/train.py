@@ -94,7 +94,22 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
     from ..models.builder import parse_model_cfg
 
     spec0 = parse_model_cfg(opt.cfg, hyp)
+    from ..utils.general import check_img_size
+
+    gs = int(max(max(h.strides) for h in spec0.headers))
+    opt.img_size = check_img_size(opt.img_size, gs)  # ref train.py grid-size check
     hyp = scale_task_hyp(hyp, spec0, opt.img_size)
+
+    # fail fast on task-id mismatch (otherwise the first train step dies with
+    # an opaque KeyError when a header never receives targets)
+    data_tasks = set(data_info.get("tasks", []))
+    model_tasks = {h.tag for h in spec0.headers}
+    if data_tasks and not (data_tasks & model_tasks):
+        raise ValueError(
+            f"data yaml tasks {sorted(data_tasks)} match no model header tags "
+            f"{sorted(model_tasks)} — check the 'tag' column of the header rows "
+            f"in {opt.cfg!r} vs the dataset's task_id values"
+        )
     if main_proc:
         save_cfg(hyp, os.path.join(save_dir, "hyp.yaml"))
 

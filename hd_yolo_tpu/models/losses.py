@@ -59,6 +59,34 @@ def bce_with_logits(logits: Array, targets: Array, pos_weight: float = 1.0) -> A
     return -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
 
 
+def q_focal_factor(logits: Array, targets: Array, gamma: float, alpha: float = 0.25) -> Array:
+    """Quality-focal modulation |t − σ(x)|^γ · α-factor (loss.py:96-121
+    QFocalLoss) — multiply an elementwise BCE by this."""
+    p = jax.nn.sigmoid(logits)
+    alpha_factor = targets * alpha + (1.0 - targets) * (1.0 - alpha)
+    return alpha_factor * jnp.abs(targets - p) ** gamma
+
+
+def bce_blur_with_logits(logits: Array, targets: Array, alpha: float = 0.05) -> Array:
+    """BCE with reduced missing-label effect (loss.py:51-65
+    BCEBlurWithLogitsLoss): confident false positives (σ(x)−t → 1) are
+    down-weighted by 1 − exp((dx − 1)/(α + 1e−4))."""
+    loss = bce_with_logits(logits, targets)
+    dx = jax.nn.sigmoid(logits) - targets
+    return loss * (1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4)))
+
+
+def autobalance_update(balance, obj_losses, ssi: int = 0, momentum: float = 0.9999):
+    """The reference's per-level objectness auto-balance EMA
+    (loss.py:233-237): balance_i ← m·balance_i + (1−m)/obj_i, renormalized by
+    the ``ssi`` level.  Pure function — thread the returned balance through
+    the train-step carry when hyp enables it (reference default: off)."""
+    b = jnp.asarray(balance, jnp.float32)
+    o = jnp.maximum(jnp.asarray(obj_losses, jnp.float32), 1e-12)
+    b = b * momentum + (1.0 - momentum) / o
+    return b / b[ssi]
+
+
 def focal_factor(logits: Array, targets: Array, gamma: float, alpha: float = 0.25) -> Array:
     """TF-style focal modulation (loss.py:78-88)."""
     p = jax.nn.sigmoid(logits)

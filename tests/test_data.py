@@ -221,3 +221,58 @@ def test_image_cache_identical_and_immutable(synthetic_dataset):
     assert all(im is not None for im in cached._img_cache)
     assert all(not im.flags.writeable for im in cached._img_cache)
     assert all(im is None for im in plain._img_cache)
+
+
+def test_transpose_and_photometric_augs(rng):
+    """Diagonal flip swaps xy of boxes/masks; photometric extras are
+    image-only and shape-preserving."""
+    from hd_yolo_tpu.data.augment import apply_transpose, random_photometric
+    from hd_yolo_tpu.data.mask import Mask
+
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    poly = [np.array([[10, 20], [30, 20], [30, 40], [10, 40]], np.float32)]
+    ann = {"boxes": np.array([[10, 20, 30, 40]], np.float32),
+           "labels": np.array([1]),
+           "masks": [Mask(poly, (64, 64), "poly")]}
+    t_img, t_ann = apply_transpose(img, ann)
+    np.testing.assert_array_equal(t_img, np.swapaxes(img, 0, 1))
+    np.testing.assert_allclose(t_ann["boxes"], [[20, 10, 40, 30]])
+    m = t_ann["masks"][0].mask().m
+    src = ann["masks"][0].mask().m
+    np.testing.assert_array_equal(m, src.T)
+    # double transpose = identity
+    b_img, b_ann = apply_transpose(t_img, t_ann)
+    np.testing.assert_array_equal(b_img, img)
+    np.testing.assert_allclose(b_ann["boxes"], ann["boxes"])
+
+    out = random_photometric(img.copy(), {"photometric": 1.0})
+    assert out.shape == img.shape and out.dtype == img.dtype
+    assert not np.array_equal(out, img)  # p=1 applies every extra
+    same = random_photometric(img.copy(), {"photometric": 0.0})
+    np.testing.assert_array_equal(same, img)
+
+
+def test_class_and_image_weights():
+    from hd_yolo_tpu.utils.general import (
+        check_img_size,
+        check_version,
+        labels_to_class_weights,
+        labels_to_image_weights,
+    )
+
+    labels = [np.array([0, 0, 0]), np.array([0, 1, -100]), np.array([], np.int64)]
+    cw = labels_to_class_weights(labels, nc=3)
+    assert cw.shape == (3,)
+    assert cw[2] == 0.0 and cw[1] > cw[0]           # rarer class weighs more
+    np.testing.assert_allclose(cw.sum(), 2.0, rtol=1e-6)  # n nonzero classes
+    iw = labels_to_image_weights(labels, 3, cw)
+    assert iw[0] > 0 and iw[2] == 0.0
+    assert labels_to_class_weights([None], 3).size == 0
+
+    assert check_img_size(640, 64) == 640
+    assert check_img_size(650, 64) == 704
+    assert check_version("1.2.3", "1.0.3")
+    assert not check_version("0.9", "1.0")
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        check_version("0.9", "1.0", hard=True)

@@ -157,3 +157,39 @@ def test_multi_label_output_path():
     assert "multi_labels" in o
     assert o["multi_labels"].shape == (1, 300, 5)
     assert o["multi_labels"].dtype == bool
+
+
+def test_loss_utility_variants():
+    """QFocal / BCE-blur / autobalance parity helpers (loss.py:51-121,233-237)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hd_yolo_tpu.models.losses import (
+        autobalance_update,
+        bce_blur_with_logits,
+        bce_with_logits,
+        focal_factor,
+        q_focal_factor,
+    )
+
+    logits = jnp.asarray([-2.0, 0.0, 3.0])
+    targets = jnp.asarray([0.0, 1.0, 1.0])
+    qf = q_focal_factor(logits, targets, gamma=1.5)
+    assert qf.shape == logits.shape
+    # confident-correct prediction → near-zero modulation; wrong → large
+    assert float(qf[2]) < float(q_focal_factor(jnp.asarray([-3.0]), jnp.asarray([1.0]), 1.5)[0])
+
+    # bce-blur: confident FALSE POSITIVE down-weighted vs plain bce
+    fp_logit, fp_target = jnp.asarray([4.0]), jnp.asarray([0.0])
+    assert float(bce_blur_with_logits(fp_logit, fp_target)[0]) < float(
+        bce_with_logits(fp_logit, fp_target)[0])
+    # true positives barely affected
+    tp_logit, tp_target = jnp.asarray([4.0]), jnp.asarray([1.0])
+    import numpy as np
+    np.testing.assert_allclose(float(bce_blur_with_logits(tp_logit, tp_target)[0]),
+                               float(bce_with_logits(tp_logit, tp_target)[0]), rtol=0.05)
+
+    b = autobalance_update([4.0, 1.0, 0.4], [0.5, 0.1, 0.05], ssi=1)
+    assert b.shape == (3,)
+    np.testing.assert_allclose(float(b[1]), 1.0, rtol=1e-6)  # renormalized
+    assert np.isfinite(np.asarray(b)).all()

@@ -31,7 +31,8 @@ CLASS_AXES = {1: (22, 18), 2: (26, 10), 3: (10, 9), 4: (16, 14)}
 
 
 def make_nucls_dataset(root: Path, n_images: int = 32, img_size: int = 640,
-                       nuclei_per_tile: int = 40, seed: int = 0) -> str:
+                       nuclei_per_tile: int = 40, seed: int = 0,
+                       task_id: str = "detSC") -> str:
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -65,7 +66,7 @@ def make_nucls_dataset(root: Path, n_images: int = 32, img_size: int = 640,
                  boxes=np.asarray(boxes, np.float32),
                  labels=np.asarray(labels, np.int64),
                  masks=parr, size=np.array([img_size, img_size]))
-        rows.append(f"tile{i}.png,t{i},a{i},tile{i}.npz,detSC,poly")
+        rows.append(f"tile{i}.png,t{i},a{i},tile{i}.npz,{task_id},poly")
 
     csv = root / "index.csv"
     csv.write_text(
@@ -73,10 +74,10 @@ def make_nucls_dataset(root: Path, n_images: int = 32, img_size: int = 640,
     )
     import yaml
 
-    meta = {"detSC": {"labels_text": {1: "tumor", 2: "stromal", 3: "sTILs", 4: "other"}}}
+    meta = {task_id: {"labels_text": {1: "tumor", 2: "stromal", 3: "sTILs", 4: "other"}}}
     data_yaml = root / "data.yaml"
     data_yaml.write_text(yaml.safe_dump(
-        {"train": str(csv), "val": str(csv), "tasks": ["detSC"], "meta_info": meta}
+        {"train": str(csv), "val": str(csv), "tasks": [task_id], "meta_info": meta}
     ))
     return str(data_yaml)
 
