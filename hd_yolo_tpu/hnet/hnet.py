@@ -95,6 +95,14 @@ class HNet(nn.Module):
     def cfg(self) -> Dict:
         return _thaw(self.cfg_frozen)
 
+    def save_config(self, filepath: str) -> None:
+        """Write the live config back to YAML (ref hnet.py:289-292) — the
+        round-trip partner of ``HNet.from_cfg(load_cfg(path))``."""
+        import yaml
+
+        with open(filepath, "w") as f:
+            yaml.safe_dump(self.cfg, f, default_flow_style=False)
+
     def setup(self):
         cfg = self.cfg
         b = cfg.get("backbone", {"type": "swin"})
