@@ -155,6 +155,7 @@ class HNet(nn.Module):
                     num_proposals=h.get("num_proposals", 256),
                     num_detections=h.get("num_detections", 100),
                     with_masks=h.get("with_masks", True),
+                    num_keypoints=h.get("num_keypoints", 0),
                     dtype=self.dtype,
                     name=f"header_{task_id}",
                 )
@@ -295,6 +296,26 @@ class HNet(nn.Module):
                 t["labels"][:, None], (B, R, T)
             ).reshape(B * R, T),
         }
+        if "keypoints" in t:
+            # normalized image-frame (x, y, vis) → ROI virtual frame; points
+            # outside the ROI lose visibility (same rule as box centers)
+            kp = t["keypoints"].astype(jnp.float32)  # (B, T, nk, 3)
+            kp_px = kp[..., :2] * jnp.asarray([W, H], jnp.float32)
+
+            def kp_per_roi(kpx, kvis, roi):
+                ox, oy = roi[0], roi[1]
+                sw = v_px / jnp.maximum(roi[2] - roi[0], 1e-6)
+                sh = v_px / jnp.maximum(roi[3] - roi[1], 1e-6)
+                local = (kpx - jnp.asarray([ox, oy])) * jnp.asarray([sw, sh])
+                inside = ((local >= 0) & (local < v_px)).all(-1)
+                return local / v_px, kvis * inside
+
+            kxy, kvis = jax.vmap(
+                jax.vmap(kp_per_roi, in_axes=(None, None, 0)), in_axes=(0, 0, 0)
+            )(kp_px, kp[..., 2], rois_px)  # (B, R, T, nk, 2), (B, R, T, nk)
+            out["keypoints"] = jnp.concatenate(
+                [kxy, kvis[..., None]], -1
+            ).reshape(B * R, T, kp.shape[2], 3)
         if "masks" in t:
             m = t["masks"]
             out["masks"] = jnp.broadcast_to(

@@ -90,18 +90,26 @@ def smooth_l1(x: Array, beta: float = 1.0 / 9) -> Array:
 def assign_targets(
     anchors: Array, gt_boxes: Array, gt_valid: Array,
     fg_iou: float, bg_iou: float,
+    anchor_valid: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """(labels, matched_gt_idx): labels 1 fg / 0 bg / −1 ignore.
-    Low-quality matches (best anchor per GT) are promoted like torchvision."""
+    Low-quality matches (best anchor per GT) are promoted like torchvision.
+    ``anchor_valid`` excludes padded proposal slots from both assignment and
+    promotion (otherwise the per-GT argmax can land on an invalid row and the
+    GT contributes no box/mask/keypoint signal that step)."""
     iou = box_iou(anchors, gt_boxes)  # (N, T)
     iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    if anchor_valid is not None:
+        iou = jnp.where(anchor_valid[:, None], iou, -1.0)
     best_iou = iou.max(-1)
-    best_gt = iou.argmax(-1)
+    best_gt = jnp.clip(iou.argmax(-1), 0)
     labels = jnp.where(best_iou >= fg_iou, 1, jnp.where(best_iou < bg_iou, 0, -1))
     # promote the argmax anchor of every valid GT to foreground
     best_anchor_per_gt = jnp.argmax(iou, axis=0)  # (T,)
     promote = jnp.zeros(anchors.shape[0], bool).at[best_anchor_per_gt].set(gt_valid)
     labels = jnp.where(promote, 1, labels)
+    if anchor_valid is not None:
+        labels = jnp.where(anchor_valid, labels, -1)
     return labels, best_gt
 
 
@@ -170,6 +178,28 @@ class MaskHead(nn.Module):
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="logits")(x)
 
 
+class KeypointHead(nn.Module):
+    """KeypointRCNN heads+predictor (ref mask_rcnn.py:255-296 keypoint branch
+    / torchvision KeypointRCNNHeads 8×512 + deconv predictor): (R, 14, 14, C)
+    → (R, 56, 56, num_keypoints) heatmap logits."""
+
+    num_keypoints: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rois: Array) -> Array:
+        x = rois
+        for i in range(8):
+            x = jax.nn.relu(
+                nn.Conv(512, (3, 3), padding="SAME", dtype=self.dtype, name=f"kp{i}")(x)
+            )
+        x = nn.ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),
+                             padding="SAME", dtype=self.dtype, name="deconv")(x)
+        # torchvision interpolates the 28² deconv output ×2 → 56² heatmaps
+        R, H, W, K = x.shape
+        return jax.image.resize(x.astype(jnp.float32), (R, 2 * H, 2 * W, K), "bilinear")
+
+
 class MaskRCNN(nn.Module):
     """Per-task Mask R-CNN header over FPN features.
 
@@ -188,6 +218,7 @@ class MaskRCNN(nn.Module):
     nms_thresh: float = 0.5
     rpn_nms_thresh: float = 0.7
     with_masks: bool = True
+    num_keypoints: int = 0          # >0 enables the KeypointRCNN branch
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -196,6 +227,8 @@ class MaskRCNN(nn.Module):
         self.box_head = BoxHead(self.num_classes + 1, dtype=self.dtype)
         if self.with_masks:
             self.mask_head = MaskHead(self.num_classes + 1, dtype=self.dtype)
+        if self.num_keypoints > 0:
+            self.keypoint_head = KeypointHead(self.num_keypoints, dtype=self.dtype)
 
     # ------------------------------------------------------------------- RPN
     def _propose(self, feats, image_size):
@@ -265,6 +298,10 @@ class MaskRCNN(nn.Module):
             [image_size[1], image_size[0], image_size[1], image_size[0]], jnp.float32
         )
         gt_valid = targets["valid"]
+        if self.num_keypoints > 0 and "keypoints" in targets:
+            # keypoints follow the boxes' normalized-xy convention
+            targets = {**targets, "keypoints": targets["keypoints"]
+                       * jnp.asarray([image_size[1], image_size[0], 1.0], jnp.float32)}
         losses = self._rpn_loss(
             anchors, rpn_logits, rpn_deltas, gt_boxes, gt_valid, image_weight
         )
@@ -316,7 +353,7 @@ class MaskRCNN(nn.Module):
         box_deltas = box_deltas.reshape(B, R, self.num_classes + 1, 4).astype(jnp.float32)
 
         def per_image(rb, rv, gb, gv, glabels, cl, bd):
-            labels_m, match = assign_targets(rb, gb, gv, 0.5, 0.5)
+            labels_m, match = assign_targets(rb, gb, gv, 0.5, 0.5, anchor_valid=rv)
             fg = (labels_m == 1) & rv
             bg = (labels_m == 0) & rv
             cls_target = jnp.where(fg, glabels[match], 0)  # bg class = 0
@@ -364,6 +401,42 @@ class MaskRCNN(nn.Module):
             bce = jnp.maximum(sel_log, 0) - sel_log * gt_m + jnp.log1p(jnp.exp(-jnp.abs(sel_log)))
             per = bce.mean((-1, -2))
             losses["mask_loss"] = jnp.sum(per * mv) / jnp.maximum(jnp.sum(mv), 1.0)
+
+        if self.num_keypoints > 0 and "keypoints" in targets:
+            # heatmap CE over fg ROIs (ref mask_rcnn.py:270-283
+            # keypointrcnn_loss): GT keypoint discretized into the ROI's 56²
+            # grid, cross-entropy on the spatial softmax, visible-only
+            K = min(self.num_detections, roi_boxes.shape[1])
+            score = jnp.where(fg, 1.0, -jnp.inf)
+            _, sel = jax.lax.top_k(score, K)
+            kb = jnp.take_along_axis(roi_boxes, sel[..., None], axis=1)   # (B,K,4)
+            kv = jnp.take_along_axis(fg, sel, axis=1)
+            if image_weight is not None:
+                kv = kv & (image_weight > 0)[:, None]
+            kmatch = jnp.take_along_axis(match, sel, axis=1)
+            gt_kp = jnp.take_along_axis(
+                targets["keypoints"].astype(jnp.float32),
+                kmatch[..., None, None], axis=1,
+            )  # (B, K, nk, 3)
+            pooled_k, _ = self._pool(feats, kb, 14)
+            B = kb.shape[0]
+            hm = self.keypoint_head(pooled_k.reshape(B * K, *pooled_k.shape[2:]))
+            S = hm.shape[1]                                 # 56
+            nk = self.num_keypoints
+            hm = hm.reshape(B, K, S, S, nk)
+            w = jnp.maximum(kb[..., 2] - kb[..., 0], 1e-6)[..., None]
+            h = jnp.maximum(kb[..., 3] - kb[..., 1], 1e-6)[..., None]
+            u = jnp.floor((gt_kp[..., 0] - kb[..., 0][..., None]) / w * S)
+            v = jnp.floor((gt_kp[..., 1] - kb[..., 1][..., None]) / h * S)
+            inside = (u >= 0) & (u < S) & (v >= 0) & (v < S)
+            visible = (gt_kp[..., 2] > 0) & inside & kv[..., None]
+            flat_idx = (jnp.clip(v, 0, S - 1) * S + jnp.clip(u, 0, S - 1)).astype(jnp.int32)
+            logits = hm.transpose(0, 1, 4, 2, 3).reshape(B, K, nk, S * S)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, flat_idx[..., None], axis=-1)[..., 0]
+            losses["keypoint_loss"] = jnp.sum(ce * visible) / jnp.maximum(
+                jnp.sum(visible), 1.0
+            )
         return losses
 
     def _inference(self, feats, proposals, pvalid, image_size):
@@ -401,4 +474,25 @@ class MaskRCNN(nn.Module):
             ch = jnp.clip(out["labels"], 0, self.num_classes)
             out["masks"] = jnp.take_along_axis(ml, ch[..., None, None, None], -1)[..., 0]
             out["masks"] = out["masks"] * out["valid"][..., None, None]
+        if self.num_keypoints > 0:
+            # heatmap argmax → box-frame xy + prob (keypointrcnn_inference)
+            K = out["boxes"].shape[1]
+            pooled_k, _ = self._pool(feats, out["boxes"], 14)
+            hm = self.keypoint_head(pooled_k.reshape(B * K, *pooled_k.shape[2:]))
+            S = hm.shape[1]
+            nk = self.num_keypoints
+            logits = hm.reshape(B, K, S, S, nk).transpose(0, 1, 4, 2, 3)
+            flat = logits.reshape(B, K, nk, S * S)
+            prob = jax.nn.softmax(flat, axis=-1)
+            idx = jnp.argmax(flat, axis=-1)
+            u = (idx % S).astype(jnp.float32) + 0.5
+            v = (idx // S).astype(jnp.float32) + 0.5
+            bx = out["boxes"]
+            w = jnp.maximum(bx[..., 2] - bx[..., 0], 1e-6)[..., None]
+            h = jnp.maximum(bx[..., 3] - bx[..., 1], 1e-6)[..., None]
+            kx = bx[..., 0][..., None] + u / S * w
+            ky = bx[..., 1][..., None] + v / S * h
+            ks = jnp.max(prob, axis=-1)
+            out["keypoints"] = jnp.stack([kx, ky, ks], -1)  # (B, D, nk, 3)
+            out["keypoints"] = out["keypoints"] * out["valid"][..., None, None]
         return out

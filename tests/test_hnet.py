@@ -461,3 +461,47 @@ def test_hnet_shipped_config_roundtrip(tmp_path):
     assert cfg2["headers"]["det40x"]["num_classes"] == 4
     m2 = HNet.from_cfg(cfg2)
     assert m2.cfg_frozen == m.cfg_frozen
+
+
+def test_maskrcnn_keypoint_branch(rng):
+    """KeypointRCNN branch (ref mask_rcnn.py:255-296): heatmap CE loss is
+    finite and driven by visible keypoints only; inference emits per-detection
+    (nk, 3) keypoints inside their boxes."""
+    m = MaskRCNN(num_classes=2, strides=(8.0, 16.0), anchor_sizes=(16.0, 32.0),
+                 pre_nms_topk=64, num_proposals=16, num_detections=8,
+                 with_masks=False, num_keypoints=3)
+    feats = [jnp.asarray(rng.uniform(0, 1, (1, 16 >> i, 16 >> i, 8)).astype(np.float32))
+             for i in range(2)]
+    # normalized boxes/keypoints (the engine convention); the GT box itself
+    # joins the ROI set (torchvision adds GT), so fg is never empty and the
+    # central keypoints land inside it
+    boxes = jnp.asarray([[[10.0, 10.0, 120.0, 120.0]]]) / 128.0
+    kps = jnp.asarray([[[[0.5, 0.5, 1.0], [0.47, 0.55, 1.0], [0.0, 0.0, 0.0]]]])
+    targets = {"boxes": boxes, "labels": jnp.asarray([[1]]),
+               "valid": jnp.ones((1, 1), bool), "keypoints": kps}
+    vars_ = m.init(jax.random.PRNGKey(0), feats, (128, 128), targets)
+    losses, outputs = m.apply(vars_, feats, (128, 128), targets)
+    assert "keypoint_loss" in losses and np.isfinite(float(losses["keypoint_loss"]))
+
+    # invisible-only keypoints → zero loss (masked mean denominator guard)
+    t2 = dict(targets)
+    t2["keypoints"] = kps.at[..., 2].set(0.0)
+    l2, _ = m.apply(vars_, feats, (128, 128), t2)
+    assert float(l2["keypoint_loss"]) == 0.0
+
+    # gradient reaches the keypoint head
+    g = jax.grad(lambda p: m.apply({"params": p}, feats, (128, 128), targets,
+                                   method=MaskRCNN.compute_losses)["keypoint_loss"])(
+        vars_["params"])
+    kp_grads = jax.tree.leaves(g["keypoint_head"])
+    assert any(np.abs(np.asarray(x)).sum() > 0 for x in kp_grads)
+
+    out = outputs
+    assert out["keypoints"].shape == (1, 8, 3, 3)
+    v = np.asarray(out["valid"][0])
+    if v.any():
+        k = np.asarray(out["keypoints"][0])[v]
+        b = np.asarray(out["boxes"][0])[v]
+        assert (k[..., 0] >= b[:, None, 0] - 1e-3).all()
+        assert (k[..., 0] <= b[:, None, 2] + 1e-3).all()
+        assert ((k[..., 2] >= 0) & (k[..., 2] <= 1)).all()

@@ -21,6 +21,7 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 
@@ -98,7 +99,8 @@ def main(argv=None):
     info = load_dataset_info(make_dataset(tmp, n_images=4))
     hyp = load_cfg("hyp-nuclei")
     hyp.update({"flipud": 0.0, "fliplr": 0.0, "scale": 0.01, "translate": 0.01,
-                "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0})
+                "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
+                "transpose": 0.0, "photometric": 0.0})
     m = Model.from_cfg("yolov5s-test", hyp, mask_rois=8, max_masks=16, pre_nms_topk=256)
     ds = DetectionDataset(info["train"], {**hyp, "img_size": 128, "patch_size": 128,
                                           "k_mosaic": 1}, train=True, max_targets=16)
