@@ -140,8 +140,83 @@ def main(argv=None):
     )
     print(json.dumps({"mask_fitness": fit_m,
                       "mask_stats": {t: s for t, s in stats_m.items()}}), flush=True)
+
+    wsi_eval(str(root / "run"), img_size=opt0.img_size)
     return 0
 
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def wsi_eval(run_dir: str, img_size: int = 640, slide_px: int = 2560,
+             nuclei: int = 300, seed: int = 7):
+    """Product-loop check: build a synthetic H&E slide with the same nucleus
+    renderer, run tiled slide_inference with the trained checkpoint, and
+    report stitched detections vs ground truth (greedy IoU-0.5 matching)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from hd_yolo_tpu.config import load_cfg
+    from hd_yolo_tpu.engines.checkpoint import load_inference
+    from hd_yolo_tpu.models import Model
+    from hd_yolo_tpu.models.builder import parse_model_cfg
+    from hd_yolo_tpu.wsi.tiling import slide_inference
+
+    rng = np.random.default_rng(seed)
+    img = np.full((slide_px, slide_px, 3), 230, np.uint8)
+    img += rng.integers(-12, 12, img.shape).astype(np.uint8)
+    gt_boxes, gt_labels = [], []
+    for _ in range(nuclei):
+        c = int(rng.integers(1, 5))
+        ax, ay = CLASS_AXES[c]
+        ax = max(int(ax * rng.uniform(0.8, 1.25)), 4)
+        ay = max(int(ay * rng.uniform(0.8, 1.25)), 4)
+        cx = int(rng.integers(ax + 2, slide_px - ax - 2))
+        cy = int(rng.integers(ay + 2, slide_px - ay - 2))
+        poly = cv2.ellipse2Poly((cx, cy), (ax, ay), int(rng.integers(0, 180)), 0, 360, 12)
+        cv2.fillPoly(img, [poly], tuple(int(v + rng.integers(-15, 15)) for v in CLASS_COLORS[c]))
+        x1, y1 = poly.min(0); x2, y2 = poly.max(0)
+        gt_boxes.append([x1, y1, x2, y2]); gt_labels.append(c)
+    gt_boxes = np.asarray(gt_boxes, np.float64)
+
+    hyp = load_cfg("hyp-nuclei")
+    spec = parse_model_cfg("yolov5l6-mask", hyp)
+    tag = spec.headers[0].tag
+    model = Model(spec=spec, dtype=jnp.bfloat16, max_masks=64, pre_nms_topk=1024)
+    ev = load_inference(str(Path(run_dir) / "final"))
+    fwd_j = jax.jit(lambda vv, tiles: model.apply(
+        vv, tiles, train=False, compute_masks=True)[1][tag])
+    out = slide_inference(lambda tiles: fwd_j(ev, tiles / 255.0),
+                          jnp.asarray(img.astype(np.float32)),
+                          tile=img_size, overlap=64, batch=8, max_total=4096)
+    v = np.asarray(out["valid"])
+    pb = np.asarray(out["boxes"])[v]
+    pl = np.asarray(out["labels"])[v]
+    ps = np.asarray(out["scores"])[v]
+    order = np.argsort(-ps)
+    matched = np.zeros(len(gt_boxes), bool)
+    tp = tp_cls = 0
+    for i in order:
+        x1 = np.maximum(pb[i, 0], gt_boxes[:, 0]); y1 = np.maximum(pb[i, 1], gt_boxes[:, 1])
+        x2 = np.minimum(pb[i, 2], gt_boxes[:, 2]); y2 = np.minimum(pb[i, 3], gt_boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        a = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+        ap = (pb[i, 2] - pb[i, 0]) * (pb[i, 3] - pb[i, 1])
+        iou = inter / np.maximum(a + ap - inter, 1e-9)
+        iou[matched] = 0.0
+        j = int(np.argmax(iou))
+        if iou[j] >= 0.5:
+            matched[j] = True
+            tp += 1
+            tp_cls += int(pl[i] == gt_labels[j])
+    res = {"wsi_slide_px": slide_px, "gt": len(gt_boxes), "pred": int(v.sum()),
+           "recall@0.5": round(tp / len(gt_boxes), 4),
+           "precision@0.5": round(tp / max(int(v.sum()), 1), 4),
+           "label_acc_on_matched": round(tp_cls / max(tp, 1), 4)}
+    print(json.dumps({"wsi_eval": res}), flush=True)
+    return res
+
+
+
