@@ -38,20 +38,56 @@ def _payload(state) -> Dict[str, Any]:
     }
 
 
+_ASYNC: Dict[str, Any] = {}  # path → (AsyncCheckpointer, meta) of in-flight save
+
+
+def _write_meta(path: str, meta: Dict[str, Any]) -> None:
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async checkpoint finishes (then write its
+    meta sidecar).  Called automatically before a new save to the same path
+    and at the end of training."""
+    for path, (ckptr, meta) in list(_ASYNC.items()):
+        ckptr.wait_until_finished()
+        _write_meta(path, meta)
+        ckptr.close()
+        del _ASYNC[path]
+
+
 def save_checkpoint(path: str, state, epoch: int, best_fitness: float = 0.0,
-                    extra: Optional[Dict[str, Any]] = None) -> None:
-    """Save a full training checkpoint (last/best equivalent)."""
+                    extra: Optional[Dict[str, Any]] = None,
+                    async_save: bool = False) -> None:
+    """Save a full training checkpoint (last/best equivalent).
+
+    ``async_save=True`` uses orbax's AsyncCheckpointer: the host copy of the
+    state is snapshotted synchronously (cheap), the ~1 GB tensorstore write
+    streams in a background thread, and the train loop keeps stepping — the
+    production answer to the measured 60-90 s per-epoch write stall.  The
+    meta sidecar is written when the save completes (so a crash mid-write
+    leaves no meta and resume falls back to the previous epoch)."""
     path = os.path.abspath(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _payload(state), force=True)
     meta = {
         "epoch": epoch,
         "best_fitness": float(best_fitness),
         "date": datetime.datetime.now().isoformat(),
         **(extra or {}),
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    if async_save:
+        if path in _ASYNC:  # previous save to this path still in flight
+            ckptr, prev_meta = _ASYNC.pop(path)
+            ckptr.wait_until_finished()
+            _write_meta(path, prev_meta)
+            ckptr.close()
+        ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        ckptr.save(path, _payload(state), force=True)
+        _ASYNC[path] = (ckptr, meta)
+        return
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, _payload(state), force=True)
+    _write_meta(path, meta)
 
 
 def load_meta(path: str) -> Dict[str, Any]:

@@ -27,7 +27,7 @@ from ..models import Model
 from ..parallel import auto_mesh, replicate, shard_batch
 from . import val as val_engine
 from .callbacks import Callbacks
-from .checkpoint import restore_train_state, save_checkpoint, save_inference
+from .checkpoint import restore_train_state, save_checkpoint, save_inference, wait_for_saves
 from .loggers import Loggers
 from .optim import build_optimizer
 from .train_step import TrainState, make_train_step
@@ -350,7 +350,8 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
             if fit >= best_fitness:
                 best_fitness = fit
                 if main_proc and do_val:
-                    save_checkpoint(os.path.join(save_dir, "best"), state, epoch, best_fitness)
+                    save_checkpoint(os.path.join(save_dir, "best"), state, epoch,
+                                    best_fitness, async_save=opt.async_ckpt)
             # 'last' on schedule (--save-interval) + always on the final epoch:
             # a full TrainState is ~1 GB at flagship size — every-epoch writes
             # can dominate wall-clock on slow disks
@@ -358,12 +359,14 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                 (epoch + 1) % max(getattr(opt, "save_interval", 1), 1) == 0
                 or epoch == opt.epochs - 1
             ):
-                save_checkpoint(os.path.join(save_dir, "last"), state, epoch, best_fitness)
+                save_checkpoint(os.path.join(save_dir, "last"), state, epoch,
+                                best_fitness, async_save=opt.async_ckpt)
             callbacks.run("on_model_save", epoch=epoch)
             if stopper(epoch, fit):
                 break
 
     if main_proc:
+        wait_for_saves()  # drain in-flight async checkpoint writes
         save_inference(os.path.join(save_dir, "final"), state)
     callbacks.run("on_train_end")
     return {"best_fitness": best_fitness, **final_stats}
@@ -394,6 +397,9 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--cos-lr", dest="cos_lr", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--patience", type=int, default=30)
+    p.add_argument("--async-ckpt", dest="async_ckpt", action="store_true",
+                   help="stream checkpoint writes in a background thread "
+                        "(orbax AsyncCheckpointer) so epochs don't stall")
     p.add_argument("--save-interval", dest="save_interval", type=int, default=1,
                    help="write the 'last' checkpoint every N epochs (final "
                         "epoch always saves)")

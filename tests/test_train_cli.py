@@ -109,3 +109,40 @@ def test_train_cli_multiscale_pretrain_val(tmp_path):
     result = train(opt)
     assert "best_fitness" in result
     assert os.path.isdir(os.path.join(save_dir, "final"))
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """AsyncCheckpointer path: save → wait → restore matches the sync path."""
+    import jax
+    import jax.numpy as jnp
+
+    from hd_yolo_tpu.engines.checkpoint import (
+        load_meta,
+        restore_train_state,
+        save_checkpoint,
+        wait_for_saves,
+    )
+    from hd_yolo_tpu.engines.optim import build_optimizer
+    from hd_yolo_tpu.engines.train_step import TrainState
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    tx = build_optimizer(params, {"lr0": 0.01}, 10, 10)
+    state = TrainState.create({"params": params, "batch_stats": {}}, tx)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, state, epoch=3, best_fitness=0.5, async_save=True)
+    # a second async save to the same path must first drain the in-flight one
+    state2 = state.replace(step=jnp.asarray(8, jnp.int32))
+    save_checkpoint(p, state2, epoch=4, best_fitness=0.6, async_save=True)
+    wait_for_saves()
+
+    meta = load_meta(p)
+    assert meta["epoch"] == 4 and meta["best_fitness"] == 0.6
+    fresh = TrainState.create({"params": jax.tree.map(jnp.zeros_like, params),
+                               "batch_stats": {}}, tx)
+    restored, meta2 = restore_train_state(p, fresh)
+    assert int(restored.step) == 8
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(params["w"]))
+    assert meta2["epoch"] == 4
