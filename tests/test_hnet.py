@@ -505,3 +505,61 @@ def test_maskrcnn_keypoint_branch(rng):
         assert (k[..., 0] >= b[:, None, 0] - 1e-3).all()
         assert (k[..., 0] <= b[:, None, 2] + 1e-3).all()
         assert ((k[..., 2] >= 0) & (k[..., 2] <= 1)).all()
+
+
+@pytest.mark.slow
+def test_hnet_train_step_on_8_device_mesh():
+    """HNet (dynamic FPN + mask-weighted constrain + keypoints) trains over
+    the 8-virtual-device mesh: per-shard batches, psum'd grads, loss drops."""
+    from hd_yolo_tpu.engines.optim import build_optimizer
+    from hd_yolo_tpu.engines.train_step import TrainState, make_train_step
+    from hd_yolo_tpu.parallel import create_mesh, replicate, shard_batch
+
+    rng = np.random.default_rng(0)
+    cfg = {
+        "backbone": {"type": "darknet", "width": 0.25, "depth": 0.33},
+        "fpn": {"out_channels": 32, "type": "dynamic"},
+        "headers": {
+            "det": {"type": "maskrcnn", "num_classes": 2, "pre_nms_topk": 64,
+                    "num_proposals": 16, "num_detections": 8, "roi_size": 64,
+                    "anchor_sizes": [16.0, 32.0, 64.0], "with_masks": True,
+                    "num_keypoints": 2},
+            "seg": {"type": "panoptic", "num_classes": 3, "channels": 32},
+        },
+        "constrains": {
+            "c0": {"seg_task": "seg", "det_task": "det",
+                   "edges": [[1, 1], [2, 2]], "weighting": "mask"},
+        },
+    }
+    model = HNet.from_cfg(cfg)
+    B = 8
+    x = jnp.asarray(rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32))
+    targets = {
+        "det": {
+            "boxes": jnp.asarray(np.tile([[0.2, 0.2, 0.7, 0.7]], (B, 1, 1))),
+            "labels": jnp.ones((B, 1), jnp.int32),
+            "masks": jnp.ones((B, 1, 28, 28), jnp.float32),
+            "keypoints": jnp.asarray(np.tile([[[0.45, 0.45, 1.0], [0.5, 0.5, 1.0]]],
+                                             (B, 1, 1, 1))),
+            "valid": jnp.ones((B, 1), bool),
+        },
+        "seg": {"seg_map": jnp.asarray(rng.integers(0, 3, (B, 16, 16)))},
+    }
+    variables = model.init(jax.random.PRNGKey(0), x, targets, train=True)
+    tx = build_optimizer(variables["params"], {"lr0": 0.01, "warmup_epochs": 0.0},
+                         epochs=3, steps_per_epoch=3)
+    state = TrainState.create(variables, tx)
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    step = make_train_step(model, tx)
+    batch = {"image": x, "targets": targets}
+    with mesh:
+        state = replicate(state, mesh)
+        sb = shard_batch(batch, mesh)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, sb)
+            losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    assert any("keypoint_loss" in k for k in metrics), list(metrics)
