@@ -6,7 +6,15 @@ axis is provisioned for tensor-parallel growth; WSI tile grids shard over
 ``data`` too (spatial parallelism, SURVEY.md §5.7).
 """
 
-from .mesh import auto_mesh, create_mesh, batch_sharding, replicate, replicated, shard_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    auto_mesh,
+    batch_sharding,
+    create_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+    shard_params_tp,
+)
 from .distributed import (  # noqa: F401
     is_main_process,
     make_global_batch,

@@ -70,3 +70,33 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_params_tp(params: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
+    """Tensor-parallel param placement: shard the OUT-CHANNEL (last) axis of
+    every large kernel over the ``model`` mesh axis; everything else
+    replicates.
+
+    This is the GSPMD formulation of tensor parallelism: computation stays an
+    ordinary jitted program, the placement constraint alone makes XLA
+    partition the matmuls/convs and insert the activation collectives over
+    ICI.  Kernels whose last dim doesn't divide the axis (or that are smaller
+    than ``min_size`` elements, where collective latency would dominate) stay
+    replicated.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    rep = replicated(mesh)
+
+    def place(x):
+        if (
+            n_model > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.size >= min_size
+            and x.shape[-1] % n_model == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, params)

@@ -157,3 +157,47 @@ def test_batchnorm_stats_are_global_under_sharded_jit():
     )
     want = np.asarray(jnp.mean(xc, axis=(0, 1, 2))) * (1 - 0.97)  # fresh EMA step
     np.testing.assert_allclose(got_mean, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_placement_matches_dp():
+    """shard_params_tp: large kernels shard out-channels over 'model'; one
+    train step on a (4,2) dp*tp mesh matches the pure-DP (8,1) step exactly
+    (GSPMD placement must not change numerics)."""
+    from hd_yolo_tpu.parallel import create_mesh, replicate, shard_batch, shard_params_tp
+
+    model = Model.from_cfg(
+        "yolov5s-test", "hyp-nuclei", mask_rois=4, max_masks=8, pre_nms_topk=64
+    )
+    rng = np.random.default_rng(0)
+    B, H = 8, 128
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (B, H, H, 3)).astype(np.float32)),
+        "targets": jax.tree.map(
+            lambda x: jnp.asarray(np.tile(np.asarray(x), (4,) + (1,) * (np.asarray(x).ndim - 1))),
+            make_targets(rng, 2, 8, 4),
+        ),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["image"], batch["targets"],
+                           train=True, compute_masks=True)
+    tx = build_optimizer(variables["params"], {"lr0": 0.05, "warmup_epochs": 0.0},
+                         epochs=3, steps_per_epoch=3)
+
+    losses = {}
+    for name, shape in (("dp", (8, 1)), ("dp_tp", (4, 2))):
+        state = TrainState.create(variables, tx)
+        mesh = create_mesh(shape=shape)
+        step = make_train_step(model, tx)
+        with mesh:
+            state = replicate(state, mesh)
+            if shape[1] > 1:
+                state = state.replace(
+                    params=shard_params_tp(state.params, mesh, min_size=1 << 12))
+                # at least one kernel must actually be sharded over 'model'
+                from jax.sharding import PartitionSpec as P
+                specs = [x.sharding.spec for x in jax.tree.leaves(state.params)
+                         if hasattr(x, "sharding")]
+                assert any(s != P() for s in specs), "no TP-sharded kernels"
+            sb = shard_batch(batch, mesh)
+            _, metrics = step(state, sb)
+            losses[name] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["dp"], losses["dp_tp"], rtol=2e-5)
