@@ -104,8 +104,16 @@ def make_lr_schedules(hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
 
 def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
                     schedule: str = "linear", accumulate: int = 1,
-                    freeze: Optional[list] = None) -> optax.GradientTransformation:
-    """SGD(momentum, nesterov) with 3 param groups (+ frozen) and warmup schedules."""
+                    freeze: Optional[list] = None,
+                    skip_nonfinite: bool = True) -> optax.GradientTransformation:
+    """SGD(momentum, nesterov) with 3 param groups (+ frozen) and warmup schedules.
+
+    ``skip_nonfinite`` wraps the whole chain in ``optax.apply_if_finite``:
+    a step whose gradients contain inf/NaN is SKIPPED (params, momentum and
+    accumulation state untouched) instead of poisoning the weights — the
+    same recovery semantics the reference gets from AMP's GradScaler
+    (ref train.py autocast/scaler path).  100 consecutive bad steps raise.
+    """
     hyp = {**DEFAULT_HYP, **{k: v for k, v in hyp.items() if k in DEFAULT_HYP}}
     lr_main, lr_bias, momentum = make_lr_schedules(hyp, epochs, steps_per_epoch, schedule)
     labels = label_params(params, freeze)
@@ -130,6 +138,8 @@ def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch:
     )
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return tx
 
 

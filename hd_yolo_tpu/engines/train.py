@@ -308,7 +308,11 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                         )  # targets are normalized — no box rescale needed
                 state, metrics = step_fn(state, batch)
                 for k, v in metrics.items():
-                    mloss[k] = mloss.get(k, 0.0) + float(v) / steps_per_epoch
+                    fv = float(v)
+                    if np.isfinite(fv):  # a skipped non-finite step shouldn't
+                        mloss[k] = mloss.get(k, 0.0) + fv / steps_per_epoch
+                    else:                # poison the epoch average
+                        mloss["nonfinite_steps"] = mloss.get("nonfinite_steps", 0.0) + 1.0
                 callbacks.run("on_train_batch_end")
             callbacks.run("on_train_epoch_end", epoch=epoch)
 
@@ -338,9 +342,11 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
 
                 fit = float(multihost_utils.broadcast_one_to_all(jnp.float32(fit)))
             final_stats = {f"{t}/{k}": v for t, s in stats.items() for k, v in s.items()}
+            skipped = int(mloss.get("nonfinite_steps", 0))
             LOGGER.info(
                 f"epoch {epoch}: loss={mloss.get('loss', float('nan')):.4f} "
                 f"fitness={fit:.4f} ({time.time()-t_epoch:.0f}s)"
+                + (f" [skipped {skipped} non-finite step(s)]" if skipped else "")
             )
             callbacks.run(
                 "on_fit_epoch_end", {**mloss, **final_stats, "fitness": fit}, epoch,

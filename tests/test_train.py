@@ -201,3 +201,63 @@ def test_tensor_parallel_placement_matches_dp():
             _, metrics = step(state, sb)
             losses[name] = float(metrics["loss"])
     np.testing.assert_allclose(losses["dp"], losses["dp_tp"], rtol=2e-5)
+
+
+def test_nonfinite_gradient_step_is_skipped():
+    """optax.apply_if_finite wrapping (the GradScaler skip-on-inf analog):
+    a NaN-gradient step leaves params AND momentum untouched; the next finite
+    step applies normally."""
+    import optax
+
+    params = {"w": jnp.ones((4, 4))}
+    tx = build_optimizer(params, {"lr0": 0.1, "warmup_epochs": 0.0},
+                         epochs=1, steps_per_epoch=10)
+    opt = tx.init(params)
+
+    bad = {"w": jnp.full((4, 4), jnp.nan)}
+    upd, opt = tx.update(bad, opt, params)
+    p1 = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(p1["w"]), np.asarray(params["w"]))
+    assert int(opt.notfinite_count) == 1
+
+    good = {"w": jnp.ones((4, 4))}
+    upd, opt = tx.update(good, opt, params)  # inner step 0: lr ramp starts at 0
+    assert int(opt.notfinite_count) == 0     # reset on a finite step
+    p2 = optax.apply_updates(params, upd)
+    upd, opt = tx.update(good, opt, p2)      # inner step 1: lr > 0 applies
+    p3 = optax.apply_updates(p2, upd)
+    assert np.abs(np.asarray(p3["w"]) - np.asarray(params["w"])).max() > 0
+
+
+def test_nonfinite_batch_does_not_poison_training():
+    """End-to-end: one poisoned batch (NaN pixels) mid-training is skipped and
+    the model keeps converging."""
+    model = Model.from_cfg(
+        "yolov5s-test", "hyp-nuclei", mask_rois=4, max_masks=8, pre_nms_topk=64
+    )
+    rng = np.random.default_rng(0)
+    B, H = 2, 128
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (B, H, H, 3)).astype(np.float32)),
+        "targets": jax.tree.map(jnp.asarray, make_targets(rng, B, 8, 4)),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["image"], batch["targets"],
+                           train=True, compute_masks=True)
+    tx = build_optimizer(variables["params"], {"lr0": 0.05, "warmup_epochs": 0.0},
+                         epochs=3, steps_per_epoch=3)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx)
+
+    state, m0 = step(state, batch)
+    params_before = jax.tree.map(np.asarray, state.params)
+    poisoned = dict(batch)
+    poisoned["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+    state, m_bad = step(state, poisoned)
+    assert not np.isfinite(float(m_bad["loss"]))
+    # params unchanged by the poisoned step
+    same = jax.tree.map(lambda a, b: np.array_equal(a, np.asarray(b)),
+                        params_before, state.params)
+    assert all(jax.tree.leaves(same))
+    # training continues and loss is finite again
+    state, m1 = step(state, batch)
+    assert np.isfinite(float(m1["loss"]))
