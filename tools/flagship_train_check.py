@@ -145,9 +145,6 @@ def main(argv=None):
     return 0
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
-
 
 def wsi_eval(run_dir: str, img_size: int = 640, slide_px: int = 2560,
              nuclei: int = 300, seed: int = 7):
@@ -218,5 +215,5 @@ def wsi_eval(run_dir: str, img_size: int = 640, slide_px: int = 2560,
     print(json.dumps({"wsi_eval": res}), flush=True)
     return res
 
-
-
+if __name__ == "__main__":
+    raise SystemExit(main())
