@@ -145,7 +145,10 @@ class DetectionDataset:
             if self.cache_images:
                 img.setflags(write=False)  # shared across threads — keep immutable
                 self._img_cache[idx] = img
-        img = np.asarray(img)
+        if self.cache_images:
+            # hand callers a private writable view so in-place ops can't trip
+            # on the shared read-only buffer (memcpy ≪ the PNG decode skipped)
+            img = img.copy()
         anns: Dict[str, Ann] = {}
         for ann_idx in info["anns"]:
             task = self.annotations[ann_idx]["task_id"]

@@ -136,14 +136,15 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         def _probe(b):
             xp = jnp.zeros((b, opt.img_size, opt.img_size, 3), jnp.float32)
             tp = _probe_targets(b)
-            vv = model.init(jax.random.PRNGKey(0), xp, tp, train=True,
-                            compute_masks=opt.masks)
+            k0 = jax.random.PRNGKey(0)
+            vv = model.init({"params": k0, "dropout": jax.random.fold_in(k0, 1)},
+                            xp, tp, train=True, compute_masks=opt.masks)
 
             def loss_fn(p):
                 (losses, _), _ = model.apply(
                     {"params": p, "batch_stats": vv.get("batch_stats", {})},
                     xp, tp, train=True, compute_masks=opt.masks,
-                    mutable=["batch_stats"],
+                    mutable=["batch_stats"], rngs={"dropout": k0},
                 )
                 return model.total_loss(losses, 1.0 if opt.masks else 0.0)
 
@@ -205,7 +206,10 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
     with mesh:
         z = shard_batch(local_zeros, mesh)
         variables = jax.jit(
-            lambda k, x, t: model.init(k, x, t, train=True, compute_masks=opt.masks)
+            lambda k, x, t: model.init(
+                {"params": k, "dropout": jax.random.fold_in(k, 1)},
+                x, t, train=True, compute_masks=opt.masks,
+            )
         )(jax.random.PRNGKey(opt.seed), z["image"], z["targets"])
     n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
     LOGGER.info(f"model params: {n_params:,}")
@@ -261,7 +265,8 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         best_fitness = float(meta.get("best_fitness", 0.0))
         LOGGER.info(f"resumed from epoch {start_epoch}")
 
-    step_fn = make_train_step(model, tx, mask_weight=1.0 if opt.masks else 0.0)
+    step_fn = make_train_step(model, tx, mask_weight=1.0 if opt.masks else 0.0,
+                              seed=opt.seed)
     stopper = EarlyStopping(opt.patience)
     meta_info = data_info.get("meta_info", {})
 
@@ -307,12 +312,15 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                             "bilinear",
                         )  # targets are normalized — no box rescale needed
                 state, metrics = step_fn(state, batch)
-                for k, v in metrics.items():
-                    fv = float(v)
-                    if np.isfinite(fv):  # a skipped non-finite step shouldn't
-                        mloss[k] = mloss.get(k, 0.0) + fv / steps_per_epoch
-                    else:                # poison the epoch average
-                        mloss["nonfinite_steps"] = mloss.get("nonfinite_steps", 0.0) + 1.0
+                # non-finiteness is a per-STEP property (the step was skipped);
+                # count it once and keep the whole step out of the averages
+                if not np.isfinite(float(metrics["loss"])):
+                    mloss["nonfinite_steps"] = mloss.get("nonfinite_steps", 0.0) + 1.0
+                else:
+                    for k, v in metrics.items():
+                        fv = float(v)
+                        if np.isfinite(fv):  # sub-losses can NaN independently
+                            mloss[k] = mloss.get(k, 0.0) + fv / steps_per_epoch
                 callbacks.run("on_train_batch_end")
             callbacks.run("on_train_epoch_end", epoch=epoch)
 
@@ -368,7 +376,9 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                 save_checkpoint(os.path.join(save_dir, "last"), state, epoch,
                                 best_fitness, async_save=opt.async_ckpt)
             callbacks.run("on_model_save", epoch=epoch)
-            if stopper(epoch, fit):
+            # only validated epochs feed the stopper — with --val-interval N
+            # the skipped epochs' fit=0.0 must not count against patience
+            if do_val and stopper(epoch, fit):
                 break
 
     if main_proc:

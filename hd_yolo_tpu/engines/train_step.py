@@ -41,7 +41,7 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.9999,
-                    train_flag: bool = True):
+                    train_flag: bool = True, seed: int = 0):
     """Build the jittable train step.
 
     batch = {'image': (B, H, W, 3), 'targets': {task: {boxes, labels, masks,
@@ -55,7 +55,7 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
     confliction loss gets detections while BN stats keep updating.
     """
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rng):
         (losses, _), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"],
@@ -63,6 +63,7 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
             train=train_flag,
             compute_masks=mask_weight > 0,
             mutable=["batch_stats"],
+            rngs={"dropout": rng},  # drop-path/dropout (e.g. swin); unused rngs are free
         )
         total = model.total_loss(losses, mask_weight)
         items = {}
@@ -77,8 +78,11 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
 
     @jax.jit
     def train_step(state: TrainState, batch) -> tuple:
+        # fresh dropout key each step, reproducible from (seed, step) — no
+        # state-structure change so existing checkpoints keep restoring
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
         (loss, (new_stats, items)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, rng
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -334,7 +334,8 @@ class HNet(nn.Module):
         """The reference double pass (mask_rcnn.py:419-455), static shapes:
 
         pass 1 — inference over a static sliding-window tile grid of the
-        image (always, so cross-header losses see detections in train mode);
+        image (always, so cross-header losses see detections in train mode),
+        boxes AND keypoints projected back to image-frame pixels;
         pass 2 — losses over the batch of annotation ROIs (``t['rois']``),
         each rendered at the task amplification.
         """
@@ -357,13 +358,20 @@ class HNet(nn.Module):
         pyr, v_px = self._roi_pyramids(feats, tile_rois, win, amp)
         o = header.infer(pyr, (v_px, v_px))
         scale = float(win) / float(v_px)
-        shift = jnp.repeat(tiles[:, :2], 2, axis=-1)  # (Nt, 4) x,y,x,y
+        shift = jnp.tile(tiles[:, :2], (1, 2))  # (Nt, 4) x,y,x,y per-tile origin
         K = o["boxes"].shape[1]
         boxes_img = (
             o["boxes"].reshape(B, nt, K, 4) * scale + shift[None, :, None, :]
         ).reshape(B, nt * K, 4)
         o = {k: v.reshape((B, nt * K) + v.shape[2:]) for k, v in o.items()}
         o["boxes"] = boxes_img
+        if "keypoints" in o:
+            # keypoint xy shares the boxes' tile-virtual frame — project with
+            # the same scale + tile-origin shift (score channel unscaled)
+            kp = o["keypoints"].reshape((B, nt, K) + o["keypoints"].shape[2:])
+            kxy = kp[..., :2] * scale + tiles[None, :, None, None, :2]
+            kp = jnp.concatenate([kxy, kp[..., 2:]], -1)
+            o["keypoints"] = kp.reshape((B, nt * K) + kp.shape[3:])
 
         # ---- pass 2: losses over annotation ROIs
         losses: Dict[str, Array] = {}

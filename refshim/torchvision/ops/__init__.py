@@ -1,0 +1,10 @@
+from . import boxes, misc
+from ._roi_align import roi_align
+from .boxes import (batched_nms, box_area, box_iou, clip_boxes_to_image, nms,
+                    remove_small_boxes)
+from .misc import FrozenBatchNorm2d
+
+__all__ = [
+    "boxes", "misc", "roi_align", "nms", "batched_nms", "box_iou", "box_area",
+    "clip_boxes_to_image", "remove_small_boxes", "FrozenBatchNorm2d",
+]

@@ -563,3 +563,38 @@ def test_hnet_train_step_on_8_device_mesh():
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], losses
     assert any("keypoint_loss" in k for k in metrics), list(metrics)
+
+
+def test_hnet_tilegrid_keypoints_projected_to_image_frame(rng):
+    """ADVICE r2: pass-1 keypoints must share the boxes' image-frame
+    projection (scale + tile-origin shift), not stay in per-tile virtual
+    pixels.  128px image, 64px tiles at 2x amp -> any keypoint left in the
+    virtual frame violates its own box bounds on the (64,64) tile."""
+    cfg = {
+        "backbone": {"type": "darknet", "width": 0.25, "depth": 0.33},
+        "fpn": {"out_channels": 32},
+        "headers": {
+            "det": {"type": "maskrcnn", "num_classes": 2, "pre_nms_topk": 64,
+                    "num_proposals": 16, "num_detections": 8, "roi_size": 64,
+                    "amplification": 2.0, "anchor_sizes": [16.0, 32.0, 64.0],
+                    "with_masks": False, "num_keypoints": 2,
+                    "score_thresh": 0.0},
+        },
+    }
+    model = HNet.from_cfg(cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, outputs = model.apply(variables, x, train=False)
+    o = outputs["det"]
+    v = np.asarray(o["valid"][0])
+    assert v.any(), "no detections above score_thresh=0 — degenerate test"
+    b = np.asarray(o["boxes"][0])[v]
+    k = np.asarray(o["keypoints"][0])[v]
+    # mask_rcnn inference emits keypoints inside their boxes; a consistent
+    # projection preserves that invariant in the image frame
+    assert (k[..., 0] >= b[:, None, 0] - 1e-2).all()
+    assert (k[..., 0] <= b[:, None, 2] + 1e-2).all()
+    assert (k[..., 1] >= b[:, None, 1] - 1e-2).all()
+    assert (k[..., 1] <= b[:, None, 3] + 1e-2).all()
+    # and boxes genuinely span multiple tiles (shift actually exercised)
+    assert (b[:, :2] > 64.0).any(), "all detections on the origin tile"

@@ -261,3 +261,54 @@ def test_nonfinite_batch_does_not_poison_training():
     # training continues and loss is finite again
     state, m1 = step(state, batch)
     assert np.isfinite(float(m1["loss"]))
+
+
+def test_train_step_threads_dropout_rng():
+    """ADVICE r2 (high): models with stochastic depth/dropout (swin
+    drop_path_rate>0) must train through make_train_step — the step threads
+    rngs={'dropout': fold_in(seed, step)} into model.apply."""
+    from hd_yolo_tpu.hnet import HNet
+
+    cfg = {
+        "backbone": {"type": "swin", "embed_dim": 16, "depths": [1, 1],
+                     "num_heads": [1, 2], "window_size": 4,
+                     "drop_path_rate": 0.5, "drop_rate": 0.1,
+                     "attn_drop_rate": 0.1},
+        "fpn": {"out_channels": 32},
+        "headers": {
+            "seg": {"type": "panoptic", "num_classes": 3, "channels": 32},
+        },
+    }
+    model = HNet.from_cfg(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    targets = {"seg": {"seg_map": jnp.asarray(rng.integers(0, 3, (2, 8, 8)))}}
+    k0 = jax.random.PRNGKey(0)
+    variables = model.init({"params": k0, "dropout": jax.random.fold_in(k0, 1)},
+                           x, targets, train=True)
+    tx = build_optimizer(variables["params"], {"lr0": 0.01, "warmup_epochs": 0.0},
+                         epochs=1, steps_per_epoch=2)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, mask_weight=0.0, seed=7)
+    batch = {"image": x, "targets": targets}
+    state, metrics = step(state, batch)   # raised InvalidRngError before fix
+    assert np.isfinite(float(metrics["loss"]))
+    state2, metrics2 = step(state, batch)
+    assert int(state2.step) == 2
+
+
+def test_early_stopping_respects_val_interval():
+    """ADVICE r2 (medium): epochs where validation is skipped must not feed
+    the stopper — mirrored here: the driver now gates stopper() on do_val."""
+    from hd_yolo_tpu.engines.train import EarlyStopping
+
+    stopper = EarlyStopping(patience=3)
+    # validations at epochs 0, 10, 20, 30 (val_interval=10); fitness improves
+    # each time — must never stop even though raw epoch gaps (10) > patience
+    val_epochs = [0, 10, 20, 30]
+    for i, e in enumerate(val_epochs):
+        assert not stopper(e, 0.1 * (i + 1)), e
+    # ...but stalls measured over VALIDATED epochs do stop eventually
+    assert not stopper(31, 0.0)
+    assert not stopper(32, 0.0)
+    assert stopper(33, 0.0)
