@@ -45,8 +45,30 @@ def enable_reference() -> bool:
         # appended last so generically-named reference modules (data, train,
         # evaluation) can never shadow repo/stdlib imports
         sys.path.append(ref)
+    _apply_torch_compat()
     _enabled = True
     return True
+
+
+def _apply_torch_compat():
+    """The reference was written against an older torch where
+    ``long_tensor.clamp(min=0.)`` kept the integer dtype; torch>=2 promotes
+    to float, which breaks ``yolo_head.py:348``'s buffer indexing.  Restore
+    the historical semantics (dtype-preserving clamp for integer tensors)."""
+    import torch
+
+    if getattr(torch.Tensor.clamp, "_hdyolo_compat", False):
+        return
+    orig = torch.Tensor.clamp
+
+    def clamp_compat(self, min=None, max=None):
+        out = orig(self, min=min, max=max)
+        if not self.is_floating_point() and out.is_floating_point():
+            out = out.to(self.dtype)
+        return out
+
+    clamp_compat._hdyolo_compat = True
+    torch.Tensor.clamp = clamp_compat
 
 
 def import_reference(module: str):

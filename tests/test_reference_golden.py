@@ -1,0 +1,374 @@
+"""GOLDEN parity vs the ACTUAL reference code (VERDICT r2 item 1).
+
+`refshim/` makes `/root/reference` (impromptuRong/hd_yolo) importable on CPU
+by re-implementing the absent torchvision/torch_scatter surface; these tests
+then run the REAL reference modules — ``metayolo.models.yolo_head``,
+``loss.py``, ``utils_general.py`` — as the oracle for this repo, replacing
+the builder-written numpy oracles as the source of truth.
+
+Shim-correctness tests pin the shim ops to torchvision's published
+algorithm (the scalar numpy port in test_roi_align) and to this repo's
+independently-tested ops; reference-golden tests share weights bit-for-bit
+via utils/import_torch and compare end-to-end numbers.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from hd_yolo_tpu.utils.reference_oracle import (enable_reference,
+                                               load_reference_model,
+                                               reference_available)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not mounted"
+)
+
+CFG = "hd_yolo_tpu/configs/yolov5s-test.yaml"
+HYP = "hd_yolo_tpu/configs/hyp-nuclei.yaml"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ref():
+    enable_reference()
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
+
+
+# ------------------------------------------------------------- shim op parity
+def test_shim_roi_align_matches_np_oracle(rng):
+    """refshim torchvision.ops.roi_align vs the scalar numpy port of the
+    published torchvision algorithm (fixed + adaptive grids, aligned both)."""
+    import torchvision
+
+    from test_roi_align import np_roi_align
+
+    f = rng.uniform(-1, 1, (14, 18, 3)).astype(np.float32)
+    boxes = np.array([
+        [2.0, 3.0, 30.0, 25.0],
+        [0.0, 0.0, 7.5, 9.9],
+        [-4.0, -2.0, 12.0, 40.0],   # out-of-bounds corners
+        [10.0, 12.0, 10.4, 12.4],   # sub-pixel box (un-aligned min-1 clamp)
+    ], np.float32)
+    ft = torch.from_numpy(f.transpose(2, 0, 1))[None]
+    for aligned in (False, True):
+        for n in (2, 1):
+            out = torchvision.ops.roi_align(
+                ft, [torch.from_numpy(boxes)], (5, 5),
+                spatial_scale=0.5, sampling_ratio=n, aligned=aligned,
+            ).numpy().transpose(0, 2, 3, 1)
+            want = np_roi_align(f, boxes, 5, 0.5, n, aligned=aligned)
+            np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+        # adaptive sampling_ratio=-1: ceil(roi/pool) per ROI
+        out = torchvision.ops.roi_align(
+            ft, [torch.from_numpy(boxes[:1])], (5, 5),
+            spatial_scale=0.5, sampling_ratio=-1, aligned=aligned,
+        ).numpy().transpose(0, 2, 3, 1)
+        n_ad = int(np.ceil(max(boxes[0, 3] - boxes[0, 1], 1.0) * 0.5 / 5))
+        want = np_roi_align(f, boxes[:1], 5, 0.5, max(n_ad, 1), aligned=aligned)
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_shim_nms_matches_repo_ops(rng):
+    """Shim greedy NMS == this repo's padded-fixpoint NMS on tie-free input."""
+    import torchvision
+
+    import jax.numpy as jnp
+
+    from hd_yolo_tpu.ops.nms import nms_padded
+
+    K = 300
+    ctr = rng.uniform(20, 230, (K, 2))
+    wh = rng.uniform(8, 60, (K, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+    scores = rng.permutation(np.linspace(0.05, 0.95, K)).astype(np.float32)
+    keep_t = torchvision.ops.nms(torch.from_numpy(boxes),
+                                 torch.from_numpy(scores), 0.45).numpy()
+    idx, keep = nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                           jnp.ones(K, bool), 0.45, K)
+    ours = np.asarray(idx)[np.asarray(keep)]
+    np.testing.assert_array_equal(np.sort(keep_t), np.sort(ours))
+
+
+def test_shim_scatter_max_semantics():
+    from torch_scatter import scatter_max
+
+    src = torch.tensor([0.3, 0.9, 0.2, -0.5, 0.9])
+    index = torch.tensor([0, 0, 2, 2, 2])
+    mx, arg = scatter_max(src, index)
+    assert mx.tolist() == pytest.approx([0.9, 0.0, 0.9])
+    assert arg.tolist() == [1, 5, 4]          # empty group -> sentinel n
+    # deterministic first-occurrence tie-break
+    mx2, arg2 = scatter_max(torch.tensor([1.0, 1.0]), torch.tensor([0, 0]))
+    assert arg2.tolist() == [0]
+
+
+def test_shim_paste_masks_matches_repo(rng):
+    import torchvision  # noqa: F401  (shim present)
+    from torchvision.models.detection.roi_heads import paste_masks_in_image
+
+    import jax.numpy as jnp
+
+    from hd_yolo_tpu.ops.paste import paste_masks_in_image as our_paste
+
+    # smooth elliptical blobs: real mask-head outputs are smooth; iid-noise
+    # masks would amplify the documented legacy-vs-continuous 1px sampling
+    # convention into spurious per-pixel flips
+    yy, xx = np.mgrid[0:28, 0:28]
+    masks = np.stack([
+        1 / (1 + np.exp(((yy - cy) ** 2 / ry + (xx - cx) ** 2 / rx) - 9))
+        for cy, cx, ry, rx in [(14, 14, 8, 12), (10, 18, 14, 6), (16, 12, 10, 10)]
+    ]).astype(np.float32)
+    boxes = np.array([[10.5, 12.0, 60.0, 70.0],
+                      [0.0, 0.0, 25.0, 25.0],
+                      [80.0, 90.0, 140.0, 130.0]], np.float32)
+    ref = paste_masks_in_image(torch.from_numpy(masks)[:, None],
+                               torch.from_numpy(boxes), (128, 128),
+                               padding=1).numpy()[:, 0]
+    ours = np.asarray(our_paste(jnp.asarray(masks), jnp.asarray(boxes), 128, 128))
+    # implementations resize/paste with different interpolation edge handling;
+    # require near-identical coverage
+    inter = np.minimum(ref > 0.5, ours > 0.5).sum()
+    union = np.maximum(ref > 0.5, ours > 0.5).sum()
+    assert inter / max(union, 1) > 0.93
+
+
+# ------------------------------------------------- reference-code golden tests
+def test_reference_nms_per_image_golden(rng):
+    """utils_general.nms_per_image (REAL reference code, utils_general.py:299)
+    vs this repo's ops.nms.nms_per_image: identical boxes/scores/extra/order."""
+    import jax
+    import jax.numpy as jnp
+
+    from metayolo.models.utils_general import nms_per_image as ref_nms
+
+    from hd_yolo_tpu.ops.nms import nms_per_image as our_nms
+
+    nc = 4
+    K = 500
+    ctr = rng.uniform(10, 240, (K, 2))
+    wh = rng.uniform(1.0, 50, (K, 2))          # includes sub-2px boxes
+    obj = rng.permutation(np.linspace(0.01, 0.99, K))
+    cls = rng.uniform(0, 1, (K, nc))
+    lvl = rng.integers(0, 3, (K, 1)).astype(np.float32)
+    rows = np.concatenate([ctr, wh, obj[:, None], cls, lvl], -1).astype(np.float32)
+
+    ref_out = ref_nms(torch.from_numpy(rows)[None], nc=nc,
+                      conf_thres=0.15, iou_thres=0.45, max_det=300)[0]
+    ours = jax.jit(lambda p: our_nms(p, nc=nc, conf_thres=0.15, iou_thres=0.45,
+                                     max_det=300))(jnp.asarray(rows))
+    v = np.asarray(ours["valid"])
+    np.testing.assert_allclose(np.asarray(ours["boxes"])[v],
+                               ref_out["boxes"].numpy(), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ours["scores"])[v],
+                               ref_out["scores"].numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ours["extra"])[v, 0],
+                                  ref_out["extra"].numpy()[:, 0])
+
+
+@pytest.fixture(scope="module")
+def shared_models():
+    """Reference Model + this repo's Model on the SAME weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from hd_yolo_tpu.config import load_cfg
+    from hd_yolo_tpu.models import Model
+    from hd_yolo_tpu.models.builder import parse_model_cfg
+    from hd_yolo_tpu.utils.import_torch import import_state_dict
+
+    torch.manual_seed(0)   # reproducible weight draw (torch global RNG)
+    ref = load_reference_model(cfg=CFG, hyp=HYP)
+    ref.float()
+    # torch's default conv init (kaiming_uniform a=sqrt(5)) decays activation
+    # variance exponentially over ~25 layers: the untrained field becomes
+    # spatially CONSTANT (all scores tie to 8 digits) and NMS outcomes are
+    # implementation-defined.  Re-init convs with signal-preserving gain so
+    # logits genuinely vary per cell — applied before export, so both
+    # frameworks still share identical weights.
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if p.dim() == 4 and "seg_h" not in name:
+                torch.nn.init.kaiming_normal_(p, mode="fan_in", nonlinearity="relu")
+    # spread objectness/cls logits so a realistic number of boxes clears conf
+    g = torch.Generator().manual_seed(7)
+    for mi in ref.headers["det"].m:
+        b = mi.bias.data.view(3, -1)
+        b[:, 4] = torch.randn(b[:, 4].shape, generator=g) * 1.5 - 4.0
+        b[:, 5:] = torch.randn(b[:, 5:].shape, generator=g) * 1.5
+    sd = ref.state_dict()
+    hyp = load_cfg(HYP)
+    spec = parse_model_cfg(CFG, hyp)
+    variables = import_state_dict(sd, spec)
+    model = Model.from_cfg(CFG, hyp, dtype=jnp.float32)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    return ref, model, variables
+
+
+@pytest.mark.slow
+def test_reference_model_decode_golden(shared_models, rng):
+    """Raw decoded proposals (yolo_head.py:185-213) match the reference
+    exactly on shared weights (sorted per-column compare: the per-level
+    flatten order differs, (ny,nx,A) vs (A,ny,nx))."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    ref, model, variables = shared_models
+    ref.eval()
+    hdr = ref.headers["det"]
+    x = rng.uniform(0, 1, (1, 256, 256, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        feats = ref.neck(ref.backbone(xt))
+        fx = [feats[j] for j in hdr.f]
+        dets_t = []
+        for i, dl in enumerate(hdr.m):
+            f = dl(fx[i])
+            bs, _, ny, nx = f.shape
+            dets_t.append(f.view(bs, hdr.na, hdr.no, ny, nx)
+                          .permute(0, 1, 3, 4, 2).contiguous())
+        preds_t = hdr.compute_proposals(dets_t)
+        flat_t = torch.cat([y.reshape(1, -1, hdr.no) for y in preds_t], 1).numpy()
+
+    def run(mdl, xx):
+        feats = mdl.trunk(xx, train=False)
+        header = mdl.headers["det"]
+        dets = []
+        for i, j in enumerate(header.spec.from_idx):
+            d = header.det_convs[i](feats[j])
+            B, ny, nx, _ = d.shape
+            dets.append(d.reshape(B, ny, nx, header.na, header.no))
+        return header.decode_proposals(dets)
+
+    dec = np.asarray(nn.apply(run, model)(variables, jnp.asarray(x)))
+    assert dec.shape[1] == flat_t.shape[1]
+    for col in range(flat_t.shape[-1]):
+        a, b = np.sort(dec[0][:, col]), np.sort(flat_t[0][:, col])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"decode column {col}")
+
+
+@pytest.mark.slow
+def test_reference_model_forward_golden(shared_models, rng):
+    """End-to-end inference on shared weights: score/label multisets match,
+    matched boxes identical, masks near-identical.  Detection-count slack is
+    allowed ONLY inside exact score-tie groups (an untrained trunk emits
+    spatially-repeated logits, where NMS keep-order among equal scores is
+    implementation-defined)."""
+    import jax
+    import jax.numpy as jnp
+
+    ref, model, variables = shared_models
+    ref.eval()
+    x = rng.uniform(0, 1, (1, 256, 256, 3)).astype(np.float32)
+    with torch.no_grad():
+        _, ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         compute_masks=True)
+    ro = ref_out[0]["det"]
+    _, out = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=False, compute_masks=True))(variables, jnp.asarray(x))
+    o = {k: np.asarray(v) for k, v in out["det"].items()}
+    v = o["valid"][0].astype(bool)
+    n_our, n_ref = int(v.sum()), len(ro["boxes"])
+    assert n_ref > 20, "degenerate fixture: reference found no detections"
+    assert abs(n_our - n_ref) <= max(2, int(0.05 * n_ref)), (n_our, n_ref)
+
+    ob, os_, ol = o["boxes"][0][v], o["scores"][0][v], o["labels"][0][v]
+    rb, rs, rl = ro["boxes"].numpy(), ro["scores"].numpy(), ro["labels"].numpy()
+    n = min(n_our, n_ref)
+    order, rorder = np.argsort(-os_), np.argsort(-rs)
+    np.testing.assert_allclose(os_[order][:n], rs[rorder][:n],
+                               rtol=1e-4, atol=1e-5)
+    assert (ol[order][:n] == rl[rorder][:n]).mean() > 0.95
+
+    # one-to-one box match (unmatched rows must sit in score-tie groups)
+    from scipy.spatial.distance import cdist
+
+    D = cdist(ob, rb)
+    used, unmatched = set(), []
+    for i in order:
+        cand = np.argsort(D[i])[:8]
+        hit = next((j for j in cand
+                    if D[i, j] < 0.5 and j not in used
+                    and abs(os_[i] - rs[j]) < 1e-4), None)
+        if hit is None:
+            unmatched.append(i)
+        else:
+            used.add(hit)
+    for i in unmatched:
+        ties = (np.abs(rs - os_[i]) < 1e-6).sum() + (np.abs(os_ - os_[i]) < 1e-6).sum()
+        assert ties >= 2, f"unmatched box {ob[i]} (score {os_[i]}) is not a tie"
+    assert len(unmatched) <= max(3, int(0.1 * n))
+
+    if "masks" in o and "masks" in ro and len(ro["masks"]):
+        R = o["masks"].shape[1]
+        rm = ro["masks"].numpy()[:, 0]
+        om_rows = [i for i in order if i < R][: min(R, n)]
+        m_pairs = 0
+        for i in om_rows:
+            j = np.argmin(D[i])
+            if D[i, j] < 0.5 and j < len(rm):
+                np.testing.assert_allclose(o["masks"][0][i], rm[j],
+                                           rtol=1e-3, atol=1e-3)
+                m_pairs += 1
+        assert m_pairs > 0
+
+
+@pytest.mark.slow
+def test_reference_model_loss_golden(shared_models):
+    """Train-mode losses vs the REAL DetLoss/SegLoss (loss.py:124-283) on
+    shared weights and collision-free anchor-shaped GT (so the reference's
+    last-write-wins tobj scatter is deterministic): every loss item matches."""
+    import jax
+    import jax.numpy as jnp
+
+    ref, model, variables = shared_models
+    rng = np.random.default_rng(3)
+    B, T = 2, 4
+    x = rng.uniform(0, 1, (B, 256, 256, 3)).astype(np.float32)
+    # distinct, well-separated stride-16 cells + anchor-shaped boxes
+    cells = np.array([[3, 3], [3, 9], [9, 3], [9, 9]], np.float32)
+    anchors_px = np.array([[30, 61], [62, 45], [59, 119]], np.float32)
+    boxes = np.zeros((B, T, 4), np.float32)
+    for b in range(B):
+        jitter = rng.uniform(0.25, 0.45, (T, 2))
+        ctr = (cells + jitter) * 16 / 256.0
+        awh = anchors_px[rng.integers(0, 3, T)] / 256.0
+        boxes[b] = np.concatenate([ctr - awh / 2, ctr + awh / 2], -1)
+    labels = rng.integers(1, 5, (B, T))
+    masks = (rng.uniform(0, 1, (B, T, 28, 28)) > 0.4).astype(np.float32)
+
+    ref.train()
+    targets_t = [
+        {"anns": {"det": [{
+            "boxes": torch.from_numpy(boxes[b]),
+            "labels": torch.from_numpy(labels[b]),
+            "masks": torch.from_numpy(masks[b]),
+        }]}}
+        for b in range(B)
+    ]
+    losses_t, _ = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                      targets=targets_t, compute_masks=True)
+    lt = losses_t["det"]
+    ref_items = {k: float(v) for k, v in lt["loss_items"].items()}
+    ref_det = float(lt["det_loss"].detach())
+    ref_mask = float(lt["mask_loss"].detach())
+
+    tj = {"det": {"boxes": jnp.asarray(boxes), "labels": jnp.asarray(labels),
+                  "masks": jnp.asarray(masks), "valid": jnp.ones((B, T), bool)}}
+    (losses_j, _), _ = model.apply(variables, jnp.asarray(x), tj, train=True,
+                                   compute_masks=True, mutable=["batch_stats"])
+    lj = losses_j["det"]
+
+    assert float(lj["det_loss"]) == pytest.approx(ref_det, rel=2e-3)
+    for k in ("box", "obj", "cls"):
+        assert float(lj["loss_items"][k]) == pytest.approx(ref_items[k], rel=2e-3, abs=1e-5), k
+    if ref_mask > 0:
+        assert float(lj["mask_loss"]) == pytest.approx(ref_mask, rel=2e-3)
+    else:  # gate closed on this draw — both sides must agree it is closed
+        assert float(lj["mask_loss"]) == pytest.approx(0.0, abs=1e-6)
