@@ -70,6 +70,18 @@ def _apply_torch_compat():
     clamp_compat._hdyolo_compat = True
     torch.Tensor.clamp = clamp_compat
 
+    # torch<2.6 defaulted torch.load(weights_only=False); the reference's
+    # build_model (evaluation.py:29) pickles whole Model objects.  Checkpoints
+    # here are always produced by this harness itself (trusted).
+    orig_load = torch.load
+
+    def load_compat(*args, **kwargs):
+        kwargs.setdefault("weights_only", False)
+        return orig_load(*args, **kwargs)
+
+    load_compat._hdyolo_compat = True
+    torch.load = load_compat
+
 
 def import_reference(module: str):
     """enable_reference() + import a reference module by name."""
@@ -95,8 +107,11 @@ def load_reference_model(cfg="/root/reference/metayolo/hub/yolov5l6-mask.yaml",
     import yaml as _yaml
 
     yolo = import_reference("metayolo.models.yolo")
-    with open(cfg, encoding="ascii", errors="ignore") as f:
-        cfg_dict = _yaml.safe_load(f)
+    if isinstance(cfg, dict):
+        cfg_dict = cfg
+    else:
+        with open(cfg, encoding="ascii", errors="ignore") as f:
+            cfg_dict = _yaml.safe_load(f)
     for section in ("backbone", "fpn", "headers"):
         for row in cfg_dict.get(section, []):
             args = row[3]

@@ -83,3 +83,7 @@ from . import color, io, morphology, transform, util  # noqa: E402
 __all__ = ["color", "io", "morphology", "transform", "util", "__version__",
            "img_as_float32", "img_as_float64", "img_as_float", "img_as_ubyte",
            "img_as_uint", "img_as_int", "img_as_bool"]
+
+from . import draw  # noqa: E402
+
+__all__.append("draw")
