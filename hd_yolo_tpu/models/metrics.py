@@ -158,28 +158,6 @@ def get_mask_ious(y_true: np.ndarray, y_pred: np.ndarray) -> np.ndarray:
     return inter / union
 
 
-# ------------------------------------------------------------------- iou utils
-def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    lt = np.maximum(a[:, None, :2], b[None, :, :2])
-    rb = np.minimum(a[:, None, 2:4], b[None, :, 2:4])
-    wh = np.clip(rb - lt, 0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-12)
-
-
-def get_mask_ious(y_true: np.ndarray, y_pred: np.ndarray) -> np.ndarray:
-    """(n, h, w) × (m, h, w) mask-IoU matrix (utils_nucls.py:480-490)."""
-    if len(y_true) == 0 or len(y_pred) == 0:
-        return np.zeros((len(y_true), len(y_pred)))
-    t = y_true.reshape(len(y_true), -1).astype(np.float64)
-    p = y_pred.reshape(len(y_pred), -1).astype(np.float64)
-    inter = t @ p.T
-    union = t.sum(1)[:, None] + p.sum(1)[None] - inter + 1e-8
-    return inter / union
-
-
 # --------------------------------------------------------------- ConfusionMatrix
 class ConfusionMatrix:
     """IoU-matched detection confusion matrix.
@@ -295,9 +273,12 @@ class APMeter:
             | np.isin(im.pred_labels[im.pair_pred], ignore)
         ) if len(ignore) else np.ones(len(im.pair_pred), bool)
 
+        # gt_winner='iou' = the reference meter's resolution (metrics.py:
+        # 313-321: pairs sorted by IoU desc, first-occurrence unique per pred
+        # then per GT) — golden-tested in test_reference_golden.py
         m = resolve_one_to_one(
             im.pair_pred[considered], im.pair_gt[considered],
-            im.pair_iou[considered], n_pred, gt_winner="rank",
+            im.pair_iou[considered], n_pred, gt_winner="iou",
         )
         same = im.gt_labels[m.gt_idx] == im.pred_labels[m.pred_idx]
         matched_pred, matched_iou = m.pred_idx[same], m.iou[same]

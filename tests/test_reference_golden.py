@@ -372,3 +372,124 @@ def test_reference_model_loss_golden(shared_models):
         assert float(lj["mask_loss"]) == pytest.approx(ref_mask, rel=2e-3)
     else:  # gate closed on this draw — both sides must agree it is closed
         assert float(lj["mask_loss"]) == pytest.approx(0.0, abs=1e-6)
+
+
+@pytest.mark.slow
+def test_export_torch_roundtrip_bitwise(shared_models):
+    """import_state_dict → export_state_dict reproduces the reference
+    state_dict bit-for-bit (every parameter + BN stat, correct key names) —
+    pins the flax→torch exporter used for the measured quality baseline."""
+    from hd_yolo_tpu.config import load_cfg
+    from hd_yolo_tpu.models.builder import parse_model_cfg
+    from hd_yolo_tpu.utils.export_torch import export_state_dict
+    from hd_yolo_tpu.utils.import_torch import import_state_dict
+
+    ref, _, variables = shared_models
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    spec = parse_model_cfg(CFG, load_cfg(HYP))
+    out = export_state_dict(variables, spec)
+    skip_suffixes = ("num_batches_tracked",)
+    missing = [k for k in sd
+               if not k.endswith(skip_suffixes)
+               and "anchor" not in k and "det_loss" not in k
+               and "mask_indices" not in k and "grid" not in k
+               and "stride" not in k
+               and k not in out]
+    assert not missing, missing[:8]
+    for k, v in out.items():
+        np.testing.assert_array_equal(v, sd[k], err_msg=k)
+
+
+@pytest.mark.slow
+def test_export_into_reference_forward_parity(shared_models, rng, tmp_path):
+    """load_any_into_reference: push OUR flax variables into a fresh
+    reference model (pickled-variables path) and check its decoded field
+    matches the original reference model exactly."""
+    import pickle
+
+    from hd_yolo_tpu.config import load_cfg
+    from hd_yolo_tpu.models.builder import parse_model_cfg
+    from hd_yolo_tpu.utils.export_torch import load_any_into_reference
+
+    ref, _, variables = shared_models
+    ref.eval()
+    fresh = load_reference_model(cfg=CFG, hyp=HYP)
+    fresh.float().eval()
+    p = tmp_path / "vars.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}, f)
+    spec = parse_model_cfg(CFG, load_cfg(HYP))
+    n = load_any_into_reference(fresh, str(p), tag_map={}, spec=spec)
+    assert n > 300, n
+    x = torch.from_numpy(rng.uniform(0, 1, (1, 3, 256, 256)).astype(np.float32))
+    with torch.no_grad():
+        _, a = ref(x, compute_masks=False)
+        _, b = fresh(x, compute_masks=False)
+    np.testing.assert_allclose(a[0]["det"]["boxes"].numpy(),
+                               b[0]["det"]["boxes"].numpy(), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(a[0]["det"]["scores"].numpy(),
+                               b[0]["det"]["scores"].numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_reference_apmeter_golden(rng):
+    """This repo's APMeter vs the REAL reference meter (metrics.py:251-408)
+    on shared synthetic detections incl. ignored GT (-100): per-class AP
+    vectors, interpolated P/R curves, and counts must agree."""
+    from metayolo.models.metrics import APMeter as RefAPMeter
+
+    from hd_yolo_tpu.models.metrics import APMeter as OurAPMeter
+
+    ref_m, our_m = RefAPMeter(), OurAPMeter()
+    for img in range(6):
+        n_gt = int(rng.integers(4, 10))
+        n_pred = int(rng.integers(3, 12))
+        ctr = rng.uniform(30, 600, (n_gt, 2))
+        wh = rng.uniform(15, 60, (n_gt, 2))
+        gt_boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1)
+        gt_labels = rng.integers(1, 5, n_gt)
+        gt_labels[rng.uniform(size=n_gt) < 0.2] = -100  # ignored GT
+        # predictions: jittered copies of GT + pure noise
+        rows = []
+        for j in range(n_pred):
+            if j < n_gt and rng.uniform() < 0.7:
+                b = gt_boxes[j] + rng.normal(0, 4, 4)
+                lab = gt_labels[j] if rng.uniform() < 0.8 else int(rng.integers(1, 5))
+            else:
+                c = rng.uniform(30, 600, 2)
+                s = rng.uniform(15, 60, 2)
+                b = np.concatenate([c - s / 2, c + s / 2])
+                lab = int(rng.integers(1, 5))
+            rows.append((b, max(lab, 1) if lab != -100 else lab))
+        pred_boxes = np.stack([r[0] for r in rows])
+        pred_labels = np.array([r[1] for r in rows])
+        # globally-unique scores: cross-image ties would make the
+        # global sort order (and thus cumsum curves) implementation-defined
+        pred_scores = rng.uniform(0.1, 0.99, n_pred)
+
+        import torch as _t
+
+        out_t = {"boxes": _t.from_numpy(pred_boxes.astype(np.float32)),
+                 "labels": _t.from_numpy(pred_labels.astype(np.int64)),
+                 "scores": _t.from_numpy(pred_scores.astype(np.float32))}
+        tgt_t = {"boxes": _t.from_numpy(gt_boxes.astype(np.float32)),
+                 "labels": _t.from_numpy(gt_labels.astype(np.int64))}
+        ref_m.add(out_t, tgt_t)
+        our_m.add({"boxes": pred_boxes, "labels": pred_labels,
+                   "scores": pred_scores},
+                  {"boxes": gt_boxes, "labels": gt_labels})
+
+    import torch as _t
+
+    # the reference's default iouv is a numpy array; torch>=2 refuses
+    # Tensor>=ndarray compares, so pass the same vector as a torch tensor
+    ref_stats = ref_m.ap_per_class(iouv=_t.from_numpy(ref_m.iouv))
+    our_stats = our_m.ap_per_class()
+    assert list(map(int, our_stats["labels"])) == list(map(int, ref_stats["labels"]))
+    assert list(map(int, our_stats["counts"])) == list(map(int, ref_stats["counts"]))
+    np.testing.assert_allclose(np.asarray(our_stats["ap"]),
+                               np.asarray(ref_stats["ap"]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(our_stats["p"]),
+                               np.asarray(ref_stats["p"]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(our_stats["r"]),
+                               np.asarray(ref_stats["r"]), atol=5e-3)

@@ -30,54 +30,114 @@ CLASS_COLORS = {  # class → mean BGR-ish stain color
 CLASS_AXES = {1: (22, 18), 2: (26, 10), 3: (10, 9), 4: (16, 14)}
 
 
-def make_nucls_dataset(root: Path, n_images: int = 32, img_size: int = 640,
-                       nuclei_per_tile: int = 40, seed: int = 0,
-                       task_id: str = "detSC") -> str:
+def render_tile(rng, img_size: int, nuclei_per_tile: int):
+    """One synthetic H&E tile: (img uint8 RGB, boxes, labels, polys)."""
     import cv2
 
-    rng = np.random.default_rng(seed)
-    rows = []
-    root.mkdir(parents=True, exist_ok=True)
+    img = np.full((img_size, img_size, 3), 230, np.uint8)
+    img += rng.integers(-12, 12, img.shape).astype(np.uint8)
+    boxes, labels, polys = [], [], []
+    for _ in range(nuclei_per_tile):
+        c = int(rng.integers(1, 5))
+        ax, ay = CLASS_AXES[c]
+        ax = max(int(ax * rng.uniform(0.8, 1.25)), 4)
+        ay = max(int(ay * rng.uniform(0.8, 1.25)), 4)
+        cx = int(rng.integers(ax + 2, img_size - ax - 2))
+        cy = int(rng.integers(ay + 2, img_size - ay - 2))
+        ang = int(rng.integers(0, 180))
+        poly = cv2.ellipse2Poly((cx, cy), (ax, ay), ang, 0, 360, 12)
+        col = tuple(int(v + rng.integers(-15, 15)) for v in CLASS_COLORS[c])
+        cv2.fillPoly(img, [poly], col)
+        x1, y1 = poly.min(0)
+        x2, y2 = poly.max(0)
+        boxes.append([x1, y1, x2, y2])
+        labels.append(c)
+        polys.append(poly)
+    return img, boxes, labels, polys
+
+
+GROUP_NAMES = {1: "tumor", 2: "stromal", 3: "sTILs", 4: "other"}
+
+
+def _write_split(root: Path, prefix: str, n_images: int, img_size: int,
+                 nuclei_per_tile: int, rng, task_id: str,
+                 raw_dir: Path = None) -> Path:
+    """Write one split in the native index format; optionally mirror it in
+    the RAW NuCLS schema (rgb/csv/FOV meta) so the reference's own
+    utils_nucls.TorchDataset can read the SAME tiles."""
+    import cv2
+
+    rows, meta_rows = [], []
+    if raw_dir is not None:
+        (raw_dir / "rgb").mkdir(parents=True, exist_ok=True)
+        (raw_dir / "csv").mkdir(parents=True, exist_ok=True)
     for i in range(n_images):
-        img = np.full((img_size, img_size, 3), 230, np.uint8)
-        img += rng.integers(-12, 12, img.shape).astype(np.uint8)
-        boxes, labels, polys = [], [], []
-        for _ in range(nuclei_per_tile):
-            c = int(rng.integers(1, 5))
-            ax, ay = CLASS_AXES[c]
-            ax = max(int(ax * rng.uniform(0.8, 1.25)), 4)
-            ay = max(int(ay * rng.uniform(0.8, 1.25)), 4)
-            cx = int(rng.integers(ax + 2, img_size - ax - 2))
-            cy = int(rng.integers(ay + 2, img_size - ay - 2))
-            ang = int(rng.integers(0, 180))
-            poly = cv2.ellipse2Poly((cx, cy), (ax, ay), ang, 0, 360, 12)
-            col = tuple(int(v + rng.integers(-15, 15)) for v in CLASS_COLORS[c])
-            cv2.fillPoly(img, [poly], col)
-            x1, y1 = poly.min(0)
-            x2, y2 = poly.max(0)
-            boxes.append([x1, y1, x2, y2])
-            labels.append(c)
-            polys.append([poly.astype(np.float64)])
-        cv2.imwrite(str(root / f"tile{i}.png"), img)
+        img, boxes, labels, polys = render_tile(rng, img_size, nuclei_per_tile)
+        name = f"{prefix}{i}"
+        cv2.imwrite(str(root / f"{name}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         parr = np.empty(len(polys), object)
         for j, pl in enumerate(polys):
-            parr[j] = pl
-        np.savez(root / f"tile{i}.npz",
+            parr[j] = [pl.astype(np.float64)]
+        np.savez(root / f"{name}.npz",
                  boxes=np.asarray(boxes, np.float32),
                  labels=np.asarray(labels, np.int64),
                  masks=parr, size=np.array([img_size, img_size]))
-        rows.append(f"tile{i}.png,t{i},a{i},tile{i}.npz,{task_id},poly")
+        rows.append(f"{name}.png,{prefix}_t{i},{prefix}_a{i},{name}.npz,{task_id},poly")
+        if raw_dir is not None:
+            import pandas as pd
 
-    csv = root / "index.csv"
-    csv.write_text(
-        "image_path,image_id,ann_id,ann_path,task_id,mask_mode\n" + "\n".join(rows) + "\n"
+            fov = f"SYN-{prefix}_fov{i:04d}"
+            cv2.imwrite(str(raw_dir / "rgb" / f"{fov}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            pd.DataFrame([{
+                "group": GROUP_NAMES[c], "type": "polyline",
+                "xmin": int(b[0]), "ymin": int(b[1]),
+                "xmax": int(b[2]), "ymax": int(b[3]),
+                "coords_x": ",".join(str(float(v)) for v in pl[:, 0]),
+                "coords_y": ",".join(str(float(v)) for v in pl[:, 1]),
+            } for b, c, pl in zip(boxes, labels, polys)]).to_csv(
+                raw_dir / "csv" / f"{fov}.csv")
+            meta_rows.append({"fovname": fov, "xmin": 0, "ymin": 0,
+                              "xmax": img_size, "ymax": img_size})
+    if raw_dir is not None:
+        import pandas as pd
+
+        pd.DataFrame(meta_rows).to_csv(raw_dir / "csv" / "ALL_FOV_LOCATIONS.csv")
+    csv_path = root / f"index_{prefix}.csv"
+    csv_path.write_text(
+        "image_path,image_id,ann_id,ann_path,task_id,mask_mode\n"
+        + "\n".join(rows) + "\n"
     )
+    return csv_path
+
+
+def make_nucls_dataset(root: Path, n_images: int = 32, img_size: int = 640,
+                       nuclei_per_tile: int = 40, seed: int = 0,
+                       task_id: str = "detSC", n_val: int = 0) -> str:
+    """Disjoint train/val synthetic NuCLS set (VERDICT r2 item 6).
+
+    ``n_val=0`` keeps the legacy train==val behavior for overfit checks;
+    otherwise the val tiles come from an independent RNG stream and are also
+    mirrored under ``root/raw_val`` in the RAW NuCLS schema for the
+    reference-code evaluation path (tools/reference_baseline.py)."""
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    train_csv = _write_split(root, "tile", n_images, img_size,
+                             nuclei_per_tile, rng, task_id)
+    if n_val > 0:
+        val_rng = np.random.default_rng(seed + 10_000)
+        val_csv = _write_split(root, "val", n_val, img_size, nuclei_per_tile,
+                               val_rng, task_id, raw_dir=root / "raw_val")
+    else:
+        val_csv = train_csv
     import yaml
 
     meta = {task_id: {"labels_text": {1: "tumor", 2: "stromal", 3: "sTILs", 4: "other"}}}
     data_yaml = root / "data.yaml"
     data_yaml.write_text(yaml.safe_dump(
-        {"train": str(csv), "val": str(csv), "tasks": [task_id], "meta_info": meta}
+        {"train": str(train_csv), "val": str(val_csv), "tasks": [task_id],
+         "meta_info": meta}
     ))
     return str(data_yaml)
 
@@ -87,6 +147,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--val-interval", type=int, default=10)
     p.add_argument("--images", type=int, default=32)
+    p.add_argument("--val-images", type=int, default=16,
+                   help="DISJOINT val tiles (0 = legacy train==val overfit check)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--out", default=None, help="dataset/run dir (default: tmp)")
@@ -94,7 +156,7 @@ def main(argv=None):
 
     root = Path(opt0.out or tempfile.mkdtemp(prefix="nucls_synth_"))
     data = make_nucls_dataset(root / "data", n_images=opt0.images,
-                              img_size=opt0.img_size)
+                              img_size=opt0.img_size, n_val=opt0.val_images)
     print(f"dataset: {data}", flush=True)
 
     from hd_yolo_tpu.engines.train import argument_parser, train
@@ -130,6 +192,12 @@ def main(argv=None):
     hyp = load_cfg("hyp-nuclei")
     model = Model.from_cfg("yolov5l6-mask", hyp, max_masks=64, mask_rois=32)
     ev = load_inference(str(root / "run" / "final"))
+    import pickle
+
+    with open(root / "run" / "final_vars.pkl", "wb") as f:
+        # portable single-file weights for utils/export_torch (reference-path
+        # quality eval) and --weights restarts
+        pickle.dump({k: jax.tree.map(np.asarray, v) for k, v in ev.items()}, f)
     vds = DetectionDataset(info["val"], {"img_size": opt0.img_size},
                            train=False, max_targets=64)
     vdl = DataLoader(vds, opt0.batch_size, workers=4, shuffle=False, drop_last=False)

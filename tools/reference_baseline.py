@@ -116,6 +116,9 @@ def main():
     ap.add_argument("--out", default="BASELINE_MEASURED.json")
     ap.add_argument("--keep-dir", default="",
                     help="reuse/keep the generated dataset + outputs here")
+    ap.add_argument("--data-dir", default="",
+                    help="existing raw-NuCLS dir (rgb/ + csv/) — e.g. the "
+                         "raw_val mirror written by flagship_train_check")
     args = ap.parse_args()
 
     from hd_yolo_tpu.utils.reference_oracle import (enable_reference,
@@ -128,7 +131,7 @@ def main():
 
     work = Path(args.keep_dir) if args.keep_dir else Path(tempfile.mkdtemp(
         prefix="refbase_"))
-    data_dir = work / "data"
+    data_dir = Path(args.data_dir) if args.data_dir else work / "data"
     if not (data_dir / "csv" / "ALL_FOV_LOCATIONS.csv").exists():
         meta = make_nucls_raw(data_dir, args.n_images, seed=args.seed)
     else:
