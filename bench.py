@@ -69,16 +69,35 @@ def main():
     dt = (time.time() - t0) / n_iter
     tiles_per_sec = batch / dt
 
-    # PyTorch-CPU FLOPs-matched baseline
-    try:
-        from hd_yolo_tpu.utils.torch_baseline import measure_cpu_tiles_per_sec
+    # Baseline: prefer the MEASURED reference number — the ACTUAL
+    # /root/reference/evaluation.py::run on CPU (tools/reference_baseline.py
+    # writes BASELINE_MEASURED.json; reference's own time_per_image metric,
+    # evaluation.py:97-104).  Fallback: the FLOPs-matched torch mirror.
+    cpu_tps = float("nan")
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_MEASURED.json")
+    if os.path.exists(measured):
+        try:
+            rows = json.load(open(measured))
+            for key in ((["masked_trained", "masked", "det_only_trained",
+                          "det_only"]) if compute_masks else
+                        (["det_only_trained", "det_only", "masked_trained",
+                          "masked"])):
+                if key in rows:
+                    cpu_tps = float(rows[key]["images_per_s"])
+                    break
+        except Exception as e:
+            print(f"measured baseline unreadable: {e}", file=sys.stderr)
+    if not np.isfinite(cpu_tps):
+        try:
+            from hd_yolo_tpu.utils.torch_baseline import measure_cpu_tiles_per_sec
 
-        cpu_tps = measure_cpu_tiles_per_sec(
-            spec, img_size=img, masks=compute_masks, max_masks=100
-        )
-    except Exception as e:  # torch missing / OOM — report ratio as 0 (unknown)
-        print(f"baseline measurement failed: {e}", file=sys.stderr)
-        cpu_tps = float("nan")
+            cpu_tps = measure_cpu_tiles_per_sec(
+                spec, img_size=img, masks=compute_masks, max_masks=100
+            )
+        except Exception as e:  # torch missing / OOM — ratio unknown
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            cpu_tps = float("nan")
 
     result = {
         "metric": "tiles_per_sec_per_chip_640px_mask_inference" if compute_masks

@@ -211,8 +211,14 @@ class Detect(nn.Module):
 
     # ------------------------------------------------------------- inference
     def hierarchical_scores(self, scores: Array) -> Array:
-        """Multiply each node's descendants by the node score (yolo_head.py:473-511).
-        Default tree: root 0 (objectness) → classes 1..nc."""
+        """Top-down children cascade: each node's direct children are scaled
+        by the (already-cascaded) node score — the semantics of the
+        reference's ``hierarchical_scores_bfs`` (yolo_head.py:493-508), and
+        identical to its deployed descendants variant (:473-479) on the flat
+        default tree.  On DEEP trees the deployed variant re-multiplies
+        ancestor scores once per level (s0² for depth-2 leaves — its own bfs
+        rewrite avoids that); we follow the bfs/cascade math.  Default tree:
+        root 0 (objectness) → classes 1..nc."""
         tree = self.hierarchy()
         for node, children in tree:
             idx = jnp.asarray(children)

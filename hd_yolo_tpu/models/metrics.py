@@ -475,16 +475,37 @@ def summarize_mcc(y_true, y_pred, core_labels=("tumor", "stromal", "sTILs")):
     return res
 
 
-def summarize_confusion_matrix(cm, labels, core_labels=("tumor", "stromal", "sTILs")):
-    """NuCLS coverage/accuracy/per-class P-R-F from a labeled confusion matrix
-    (metrics.py:580-598).  ``labels`` must contain 'other', 'missing',
-    'unlabeled' rows/cols like the reference."""
+def reduce_confusion_matrix(cm, labels):
+    """Fold every row/col outside ``labels`` into an 'others' bucket
+    (utils_nucls.py:627-638)."""
     import pandas as pd
 
+    if not isinstance(labels, dict):
+        label_x = label_y = list(labels)
+    else:
+        label_x, label_y = list(labels["x"]), list(labels["y"])
+    res = np.zeros([len(label_x) + 1, len(label_y) + 1])
+    res[:-1, :-1] = cm.loc[label_x, label_y].values
+    res[:-1, -1] = cm.drop(label_y, axis=1).loc[label_x, :].values.sum(1)
+    res[-1, :-1] = cm.drop(label_x, axis=0)[label_y].sum(0)
+    res[-1, -1] = cm.drop(label_y, axis=1).drop(label_x, axis=0).values.sum()
+    return pd.DataFrame(res, index=label_x + ["others"],
+                        columns=label_y + ["others"])
+
+
+def summarize_confusion_matrix(cm, labels, core_labels=("tumor", "stromal", "sTILs")):
+    """NuCLS coverage/accuracy/per-class P-R-F from a labeled confusion
+    matrix — the reference's exact math (utils_nucls.py:653-676,
+    golden-tested): full-matrix coverage; core reduction folds everything
+    outside core+missing into 'others', then drops the missing/others ROWS
+    (their columns stay in the accuracy denominator)."""
+    import pandas as pd
+
+    core_labels = list(core_labels)
     cm = pd.DataFrame(cm, index=list(labels), columns=list(labels))
-    cm = cm.drop("other", axis=0).drop("missing", axis=0)
     coverage = 1 - cm["missing"].values.sum() / cm.values.sum()
-    cm_core = cm.drop("unlabeled", axis=0).drop("unlabeled", axis=1)
+    cm_core = reduce_confusion_matrix(cm, core_labels + ["missing"])
+    cm_core = cm_core.drop("missing", axis=0).drop("others", axis=0)
     K = len(np.diag(cm_core))
     accuracy = np.diag(cm_core.values).sum() / cm_core.values.sum()
     accuracy_c = np.diag(cm_core.values).sum() / cm_core.values[:K, :K].sum()

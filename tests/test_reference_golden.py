@@ -493,3 +493,124 @@ def test_reference_apmeter_golden(rng):
                                np.asarray(ref_stats["p"]), atol=5e-3)
     np.testing.assert_allclose(np.asarray(our_stats["r"]),
                                np.asarray(ref_stats["r"]), atol=5e-3)
+
+
+def test_reference_hierarchical_scores_bfs_golden(rng):
+    """Deep-tree hierarchical scores vs the reference's own BFS cascade
+    (yolo_head.py:493-508) — the semantics this repo implements.  (The
+    reference's deployed descendants variant (:473-479) re-multiplies
+    ancestors on deep trees; documented divergence in detect_head.py.)"""
+    import torch as _t
+
+    from metayolo.models.yolo_head import Detect as RefDetect
+
+    import jax.numpy as jnp
+
+    nc = 9
+    tree = {0: {1: {4: None, 5: None}, 2: {6: None, 7: {8: None}}, 3: None,
+                9: None}}
+    hier = ((0, (1, 2, 3, 9)), (1, (4, 5)), (2, (6, 7)), (7, (8,)))
+
+    d = RefDetect.__new__(RefDetect)
+    d.nc = nc
+    d.build_hierarchical_tree = lambda: tree
+    x = rng.uniform(0.1, 1.0, (7, nc + 1)).astype(np.float32)
+    ref = d.hierarchical_scores_bfs(_t.from_numpy(x.copy()), inplace=True).numpy()
+
+    s = jnp.asarray(x.copy())
+    for node, children in hier:
+        idx = jnp.asarray(children)
+        s = s.at[..., idx].multiply(s[..., node:node + 1])
+    np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-6)
+
+
+def test_reference_evaluate_detection_golden(rng):
+    """Our evaluate_detection / summarize_precision_recall vs the REAL
+    utils_nucls versions (utils_nucls.py:493-556, 679-693): per-class
+    [n_matched, n_true, n_pred, mIoU] rows, recall-side y_pred/ious, and
+    the aggregated P/R/F1/mIoU table."""
+    import torch as _t
+
+    from utils_nucls import evaluate_detection as ref_eval
+    from utils_nucls import summarize_precision_recall as ref_summ
+
+    from hd_yolo_tpu.models.metrics import (evaluate_detection as our_eval,
+                                            summarize_precision_recall as our_summ)
+
+    classes = [1, 2, 3, 4]
+    labels_text = {1: "tumor", 2: "stromal", 3: "sTILs", 4: "other"}
+    ref_rows, our_rows = [], []
+    for img in range(5):
+        n_gt = int(rng.integers(3, 9))
+        n_pred = int(rng.integers(2, 10))
+        ctr = rng.uniform(30, 600, (n_gt, 2))
+        wh = rng.uniform(15, 60, (n_gt, 2))
+        gt_boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1)
+        gt_labels = rng.integers(1, 5, n_gt)
+        pb, pl = [], []
+        for j in range(n_pred):
+            if j < n_gt and rng.uniform() < 0.7:
+                pb.append(gt_boxes[j] + rng.normal(0, 5, 4))
+                pl.append(gt_labels[j] if rng.uniform() < 0.8
+                          else int(rng.integers(1, 5)))
+            else:
+                c = rng.uniform(30, 600, 2)
+                s = rng.uniform(15, 60, 2)
+                pb.append(np.concatenate([c - s / 2, c + s / 2]))
+                pl.append(int(rng.integers(1, 5)))
+        pred_boxes, pred_labels = np.stack(pb), np.array(pl)
+
+        t_t = {"boxes": _t.from_numpy(gt_boxes.astype(np.float32)),
+               "labels": _t.from_numpy(gt_labels.astype(np.int64))}
+        o_t = {"boxes": _t.from_numpy(pred_boxes.astype(np.float32)),
+               "labels": _t.from_numpy(pred_labels.astype(np.int64))}
+        ref_res, ref_stats = ref_eval(t_t, o_t, classes, iou_threshold=0.5)
+        _, our_recall, our_stats = our_eval(
+            {"boxes": gt_boxes, "labels": gt_labels},
+            {"boxes": pred_boxes, "labels": pred_labels}, classes,
+            iou_threshold=0.5)
+        np.testing.assert_array_equal(our_recall["y_pred"],
+                                      ref_res["y_pred"].numpy())
+        np.testing.assert_allclose(our_recall["ious"],
+                                   ref_res["ious"].numpy(), rtol=1e-5)
+        for c in classes:
+            assert our_stats[c][:3] == ref_stats[c][:3], (c, our_stats[c], ref_stats[c])
+            assert our_stats[c][3] == pytest.approx(ref_stats[c][3], abs=1e-5)
+        ref_rows.append(ref_stats)
+        our_rows.append(our_stats)
+
+    rs = ref_summ(ref_rows, labels_text)
+    os_ = our_summ(our_rows, labels_text)
+    for name in labels_text.values():
+        for k in ("precision", "recall", "f1", "miou"):
+            a, b = os_[name][k], rs[name][k]
+            if np.isnan(b):
+                assert np.isnan(a)
+            else:
+                assert a == pytest.approx(b, abs=1e-6), (name, k)
+
+
+def test_reference_summarize_cm_and_mcc_golden(rng):
+    """summarize_confusion_matrix + summarize_mcc vs the REAL utils_nucls
+    versions (utils_nucls.py:627-676, 695-709) on a random labeled cm."""
+    from utils_nucls import summarize_confusion_matrix as ref_scm
+    from utils_nucls import summarize_mcc as ref_smcc
+
+    from hd_yolo_tpu.models.metrics import (summarize_confusion_matrix as our_scm,
+                                            summarize_mcc as our_smcc)
+
+    labels = ["tumor", "stromal", "sTILs", "other", "unlabeled", "missing"]
+    cm = rng.integers(0, 40, (6, 6)).astype(float)
+    ref = ref_scm(cm.copy(), labels)
+    ours = our_scm(cm.copy(), labels)
+    for k in ["coverage", "accuracy", "accuracy_c"] + [
+            (m, c) for m in ("precision", "recall", "f1")
+            for c in ("tumor", "stromal", "sTILs")]:
+        assert ours[k] == pytest.approx(ref[k], abs=1e-9, nan_ok=True), k
+
+    names = np.array(labels[:4])
+    y_true = names[rng.integers(0, 4, 200)].tolist()
+    y_pred = names[rng.integers(0, 4, 200)].tolist()
+    r1, r2 = ref_smcc(y_true, y_pred), our_smcc(y_true, y_pred)
+    for k in r1:
+        assert r2[k] == pytest.approx(r1[k], abs=1e-9), k
