@@ -331,7 +331,11 @@ class DetectionDataset:
                 "boxes": boxes, "labels": labels, "masks": masks,
                 "valid": valid, "active": np.asarray(a is not None),
             }
-        image = img.astype(np.float32) / 255.0
+        # ship raw uint8 (4× less host→device traffic); the model normalizes
+        # on device (Model.trunk / HNet.__call__).  Float augmentation
+        # outputs keep the legacy /255 host path.
+        image = (np.ascontiguousarray(img) if img.dtype == np.uint8
+                 else img.astype(np.float32) / 255.0)
         return {"image": image, "targets": targets}
 
 

@@ -311,10 +311,11 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                     ]
                     if sz != batch["image"].shape[1]:
                         batch = dict(batch)
+                        im = batch["image"]
+                        if jnp.issubdtype(im.dtype, jnp.integer):
+                            im = im.astype(jnp.float32) / 255.0  # pre-resize
                         batch["image"] = jax.image.resize(
-                            batch["image"],
-                            (batch["image"].shape[0], sz, sz, batch["image"].shape[-1]),
-                            "bilinear",
+                            im, (im.shape[0], sz, sz, im.shape[-1]), "bilinear",
                         )  # targets are normalized — no box rescale needed
                 state, metrics = step_fn(state, batch)
                 step_metrics.append(metrics)

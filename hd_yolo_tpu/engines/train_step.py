@@ -76,7 +76,10 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
                     items[f"{task}/{k}"] = jax.lax.stop_gradient(v)
         return total, (mutated.get("batch_stats", batch_stats), items)
 
-    @jax.jit
+    # donate the state: params/opt/EMA update in place instead of
+    # double-buffering ~3× param bytes of HBM per step (callers rebind
+    # ``state = step(state, batch)``; donation is a no-op on CPU)
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> tuple:
         # fresh dropout key each step, reproducible from (seed, step) — no
         # state-structure change so existing checkpoints keep restoring

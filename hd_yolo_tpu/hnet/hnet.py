@@ -402,6 +402,9 @@ class HNet(nn.Module):
         compute_masks: bool = True,  # accepted for engine compatibility; masks
     ):                               # are governed by per-header with_masks
         H, W = x.shape[1:3]
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # uint8 batches travel host→device 4× cheaper; normalize here
+            x = x.astype(jnp.float32) / 255.0
         raw = self.backbone(x, train=train)
         dense_tasks = any(
             not isinstance(h, (MaskRCNN, FCOS)) for h in self.headers.values()

@@ -111,7 +111,13 @@ class Model(nn.Module):
         return [h.tag for h in self.spec.headers]
 
     def trunk(self, x: Array, train: bool = False) -> Dict[int, Array]:
-        """backbone + neck; returns {layer_idx: feature} for saved indices."""
+        """backbone + neck; returns {layer_idx: feature} for saved indices.
+
+        uint8 input is normalized ON DEVICE (x/255): the data pipeline ships
+        raw bytes so host→device transfer is 4× smaller — decisive on the
+        tunneled chip, and still free bandwidth on co-located hosts."""
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(jnp.float32) / 255.0
         saved: Dict[int, Array] = {}
         save = set(self.spec.save)
         cur = x

@@ -131,6 +131,7 @@ def main():
 
     work = Path(args.keep_dir) if args.keep_dir else Path(tempfile.mkdtemp(
         prefix="refbase_"))
+    work.mkdir(parents=True, exist_ok=True)
     data_dir = Path(args.data_dir) if args.data_dir else work / "data"
     if not (data_dir / "csv" / "ALL_FOV_LOCATIONS.csv").exists():
         meta = make_nucls_raw(data_dir, args.n_images, seed=args.seed)
