@@ -87,3 +87,7 @@ __all__ = ["color", "io", "morphology", "transform", "util", "__version__",
 from . import draw  # noqa: E402
 
 __all__.append("draw")
+
+from . import measure  # noqa: E402
+
+__all__.append("measure")

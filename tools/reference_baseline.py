@@ -34,6 +34,10 @@ from tools.flagship_train_check import CLASS_AXES, CLASS_COLORS  # noqa: E402
 
 GROUPS = {1: "tumor", 2: "stromal", 3: "sTILs", 4: "other"}
 LABELS_TEXT = {i: g for i, g in GROUPS.items()}
+# hierarchical decode can emit the unlabeled column as -100 (yolo_head.py
+# flatten path); the reference overlay indexes labels_text/labels_color by
+# that raw value (image_utils.py:883), so both tables must cover it
+LABELS_TEXT[-100] = "unlabeled"
 LABELS_COLOR = {1: np.array([0, 1.0, 0]), 2: np.array([1.0, 0, 0]),
                 3: np.array([0, 0, 1.0]), 4: np.array([1.0, 1.0, 0]),
                 -100: np.array([0.58, 0.58, 0.58])}
@@ -167,6 +171,18 @@ def main():
 
     meta_info = {"det": {"labels_color": LABELS_COLOR,
                          "labels_text": LABELS_TEXT}}
+    scripted = True
+    if not args.det_only:
+        # the scripted mask path executes yolo_head.py:348's
+        # ``labels.clamp(min=0.)`` as aten::clamp, which under torch>=2
+        # promotes integer labels to float and breaks buffer indexing — the
+        # Python-level compat shim can't reach inside TorchScript, so the
+        # masked baseline runs the EAGER module (disclosed in the output;
+        # compare the det-only rows for the script-vs-eager timing delta)
+        import torch.jit as _jit
+
+        _jit.script = lambda m, *a, **k: m
+        scripted = False
     t0 = time.time()
     res_summary, stats_summary = ref_evaluation.run(
         dataset, ref_model=model, run_eval=True,
@@ -185,7 +201,10 @@ def main():
     s = stats_summary["flagship"]
     summary = {
         "source": "/root/reference/evaluation.py::run (unmodified, CPU, "
-                  "TorchScript Deploy; torchvision/torch_scatter via refshim)",
+                  + ("TorchScript Deploy" if scripted else
+                     "eager Deploy — scripted mask path needs old-torch "
+                     "integer clamp semantics")
+                  + "; torchvision/torch_scatter via refshim)",
         "model": "yolov5l6-mask (reference hub yaml), "
                  f"{n_params} params, nc=4",
         "weights": args.weights or "random-init",
