@@ -79,10 +79,12 @@ def main():
     if os.path.exists(measured):
         try:
             rows = json.load(open(measured))
-            for key in ((["masked_trained", "masked", "det_only_trained",
-                          "det_only"]) if compute_masks else
-                        (["det_only_trained", "det_only", "masked_trained",
-                          "masked"])):
+            # prefer the rows measured on an idle host (the *_trained legs
+            # run alongside TPU jobs; same FLOPs, noisier wall-clock)
+            for key in ((["masked", "masked_trained", "det_only",
+                          "det_only_trained"]) if compute_masks else
+                        (["det_only", "det_only_trained", "masked",
+                          "masked_trained"])):
                 if key in rows:
                     cpu_tps = float(rows[key]["images_per_s"])
                     break

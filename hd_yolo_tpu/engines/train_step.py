@@ -78,8 +78,14 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
 
     # donate the state: params/opt/EMA update in place instead of
     # double-buffering ~3× param bytes of HBM per step (callers rebind
-    # ``state = step(state, batch)``; donation is a no-op on CPU)
-    @partial(jax.jit, donate_argnums=(0,))
+    # ``state = step(state, batch)``; donation is a no-op on CPU).
+    # HDYOLO_NO_DONATE=1 disables it for backends where aliased buffers
+    # misbehave (debug/bisect knob).
+    import os as _os
+
+    _donate = () if _os.environ.get("HDYOLO_NO_DONATE") else (0,)
+
+    @partial(jax.jit, donate_argnums=_donate)
     def train_step(state: TrainState, batch) -> tuple:
         # fresh dropout key each step, reproducible from (seed, step) — no
         # state-structure change so existing checkpoints keep restoring

@@ -74,6 +74,16 @@ def main():
     print(f"hnet-nucls params: {n_params:,}", flush=True)
     results = {}
 
+    out_path = Path(args.out)
+
+    def flush_results():
+        # partial write after every leg — a crash in a later leg (long
+        # remote compiles, tunnel hiccups) must not lose earlier numbers
+        existing = json.loads(out_path.read_text()) if out_path.exists() else {}
+        existing.update(results)
+        existing["config"] = {"batch": B, "img": S, "params": int(n_params)}
+        out_path.write_text(json.dumps(existing, indent=2))
+
     # ---- 1. inference tiles/s
     def infer(v, xx, eps):
         _, out = model.apply(v, xx + eps, train=False)
@@ -85,6 +95,7 @@ def main():
     results["hnet_infer_tiles_per_s"] = round(B / dt, 2)
     results["hnet_infer_ms_per_tile"] = round(dt / B * 1e3, 2)
     print(json.dumps(results), flush=True)
+    flush_results()
 
     # ---- 2. train step img/s
     if not args.skip_train:
@@ -137,6 +148,7 @@ def main():
         results["hnet_train_ms_per_step"] = round(dt * 1e3, 1)
         print(json.dumps({k: results[k] for k in results if "train" in k}),
               flush=True)
+        flush_results()
 
     # ---- 3. WSI pipeline (tiling + stitching, det + panoptic)
     if not args.skip_wsi:
@@ -163,12 +175,9 @@ def main():
         results["hnet_wsi_n_det"] = int(np.asarray(out["valid"]).sum())
         print(json.dumps({k: results[k] for k in results if "wsi" in k}),
               flush=True)
+        flush_results()
 
-    out_path = Path(args.out)
-    existing = json.loads(out_path.read_text()) if out_path.exists() else {}
-    existing.update(results)
-    existing["config"] = {"batch": B, "img": S, "params": int(n_params)}
-    out_path.write_text(json.dumps(existing, indent=2))
+    flush_results()
     print(f"wrote {out_path}", flush=True)
 
 

@@ -41,6 +41,8 @@ def red(out):
 timed("full (masks)", loop(lambda v, x: red(model.apply(v, x, train=False, compute_masks=True)[1])), variables, xb)
 # det-only forward
 timed("det only (no masks)", loop(lambda v, x: red(model.apply(v, x, train=False, compute_masks=False)[1])), variables, xb)
+# trunk only (backbone+neck convs, no decode/top-k/NMS/mask branch)
+timed("trunk only", loop(lambda v, x: red(model.apply(v, x, train=False, method=Model.trunk))), variables, xb)
 
 # NMS in isolation: realistic proposal tensor
 K = 25200  # approx proposals at 640 yolov5l6 (4 levels x3 anchors)
