@@ -149,7 +149,12 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params) -> EMAState:
-    return EMAState(params=jax.tree.map(jnp.asarray, params), updates=jnp.zeros((), jnp.int32))
+    # genuine copies, NOT jnp.asarray (a no-op on jax arrays): TrainState
+    # donation flattens params and ema.params into one argument list, and
+    # aliased leaves make XLA reject the execution ("attempt to donate the
+    # same buffer twice")
+    return EMAState(params=jax.tree.map(lambda p: jnp.array(p, copy=True), params),
+                    updates=jnp.zeros((), jnp.int32))
 
 
 def ema_update(state: EMAState, params, decay: float = 0.9999, tau: float = 2000.0) -> EMAState:

@@ -292,6 +292,7 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                 meta_info=meta_info, compute_masks=opt.masks, verbose=False,
             )
             LOGGER.info(f"pre-train val (EMA init): fitness={fit0:.4f}")
+        bench_batch = None
         for epoch in range(start_epoch, opt.epochs):
             callbacks.run("on_train_epoch_start")
             t_epoch = time.time()
@@ -302,7 +303,12 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
             # dispatch async; the single device_get below syncs once.
             step_metrics = []
             for i in range(steps_per_epoch):
-                batch = shard_batch(next(train_iter), mesh)
+                if getattr(opt, "bench_loop", False) and bench_batch is not None:
+                    batch = bench_batch     # --bench-loop: loader taken out
+                else:
+                    batch = shard_batch(next(train_iter), mesh)
+                    if getattr(opt, "bench_loop", False):
+                        bench_batch = batch
                 if scale_sizes:
                     # same size on every process: seeded by global step
                     sz = scale_sizes[
@@ -433,6 +439,10 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-images", dest="cache_images", action="store_true",
                    help="RAM-cache decoded images (ref train.py --cache)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bench-loop", dest="bench_loop", action="store_true",
+                   help="reuse the first (device-resident) batch every step: "
+                        "measures the engine-loop ceiling (dispatch + metrics "
+                        "+ callbacks) with the data pipeline taken out")
     p.add_argument("--max-targets", dest="max_targets", type=int, default=256)
     p.add_argument("--mask-rois", dest="mask_rois", type=int, default=64)
     p.add_argument("--max-masks", dest="max_masks", type=int, default=100)

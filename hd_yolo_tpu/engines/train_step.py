@@ -21,6 +21,20 @@ from .optim import EMAState, ema_init, ema_update
 Array = jnp.ndarray
 
 
+def _donation_supported() -> bool:
+    """HDYOLO_NO_DONATE=1 turns train-state donation off (debug knob).
+
+    Donation requires every donated leaf to be a distinct buffer — see
+    ema_init's forced copy; aliased leaves fail at execution with "attempt
+    to donate the same buffer twice" (reported as a bare InvalidArgument
+    through the tunneled backend)."""
+    import os
+
+    if os.environ.get("HDYOLO_NO_DONATE"):
+        return False
+    return True
+
+
 class TrainState(struct.PyTreeNode):
     step: Array
     params: Any
@@ -78,12 +92,8 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
 
     # donate the state: params/opt/EMA update in place instead of
     # double-buffering ~3× param bytes of HBM per step (callers rebind
-    # ``state = step(state, batch)``; donation is a no-op on CPU).
-    # HDYOLO_NO_DONATE=1 disables it for backends where aliased buffers
-    # misbehave (debug/bisect knob).
-    import os as _os
-
-    _donate = () if _os.environ.get("HDYOLO_NO_DONATE") else (0,)
+    # ``state = step(state, batch)``).  HDYOLO_NO_DONATE=1 turns it off.
+    _donate = () if not _donation_supported() else (0,)
 
     @partial(jax.jit, donate_argnums=_donate)
     def train_step(state: TrainState, batch) -> tuple:
