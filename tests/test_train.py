@@ -184,7 +184,10 @@ def test_tensor_parallel_placement_matches_dp():
 
     losses = {}
     for name, shape in (("dp", (8, 1)), ("dp_tp", (4, 2))):
-        state = TrainState.create(variables, tx)
+        # fresh buffers per mesh config: the donating train step consumes the
+        # replicated state, which on CPU can alias the original `variables`
+        state = TrainState.create(
+            jax.tree.map(lambda x: jnp.array(x, copy=True), variables), tx)
         mesh = create_mesh(shape=shape)
         step = make_train_step(model, tx)
         with mesh:
