@@ -178,3 +178,199 @@ def _roi_align_pallas_impl(
         interpret=interpret,
     )(boxes, features)
     return out[:, :K]
+
+# --------------------------------------------------------------------------
+# Multiscale canvas kernel — the mask-branch hot path.
+#
+# The XLA canvas formulation (ops/roi_align._multiscale_roi_align_canvas)
+# materializes a (B, K, M, W0, C) interpolation intermediate in HBM
+# (~0.9 GB for the flagship batch-16 mask branch → measured 4.2 ms, entirely
+# HBM-bound).  This kernel keeps the whole level canvas resident in VMEM
+# across a batch row's ROI chunks and runs both pooled matmuls back-to-back
+# on the MXU: per ROI ~94 MF with only the (B, K, M, M, C) output touching
+# HBM.  Reference op: torchvision.ops.roi_align multi-level dispatch in
+# /root/reference/metayolo/models/yolo_head.py:243,294.
+
+
+def _canvas_kernel(ylow_ref, ywl_ref, ywh_ref, xlow_ref, xwl_ref, xwh_ref,
+                   f_ref, out_ref,
+                   *, M: int, n: int, Ht: int, W0: int, C: int, kchunk: int):
+    S = M * n
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    k0 = c * kchunk
+
+    wdtype = f_ref.dtype  # Mosaic matmuls always accumulate in f32
+
+    def interp(low_ref, wl_ref, wh_ref, size):
+        # per-sample floor index / bilinear weights precomputed in XLA
+        # (ops/roi_align semantics incl. per-ROI level bounds) → dense
+        # (kchunk, M, size) bin-pooled rows via iota compares; all mask math
+        # in f32 (Mosaic can't minor-dim-expand i1 vectors).
+        low = low_ref[b, pl.ds(k0, kchunk), :]        # (kchunk, S) f32
+        wl = wl_ref[b, pl.ds(k0, kchunk), :]
+        wh = wh_ref[b, pl.ds(k0, kchunk), :]
+        grid = jax.lax.broadcasted_iota(jnp.int32, (kchunk, S, size), 2).astype(jnp.float32)
+        low_b = low[..., None]
+        w = (grid == low_b).astype(jnp.float32) * wl[..., None] \
+            + (grid == low_b + 1.0).astype(jnp.float32) * wh[..., None]
+        return w.reshape(kchunk, M, n, size).mean(2)
+
+    Wy = interp(ylow_ref, ywl_ref, ywh_ref, Ht).astype(wdtype)   # (k, M, Ht)
+    Wx = interp(xlow_ref, xwl_ref, xwh_ref, W0).astype(wdtype)   # (k, M, W0)
+
+    f = f_ref[0]                                                 # (Ht, W0, C)
+    rows = jnp.dot(
+        Wy.reshape(kchunk * M, Ht), f.reshape(Ht, W0 * C),
+        preferred_element_type=jnp.float32,
+    ).astype(wdtype).reshape(kchunk, M, W0, C)
+
+    for r in range(kchunk):
+        rw = rows[r].transpose(1, 0, 2).reshape(W0, M * C)          # (W0, My·C)
+        vals = jnp.dot(Wx[r], rw, preferred_element_type=jnp.float32)  # (Mx, My·C)
+        out_ref[0, r] = (
+            vals.reshape(M, M, C).transpose(1, 0, 2).astype(out_ref.dtype)
+        )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8),
+)
+def multiscale_roi_align_canvas_pallas(
+    features: Tuple[Array, ...],   # per level (B, H_l, W_l, C)
+    boxes: Array,                  # (B, K, 4) xyxy image coords
+    levels: Array,                 # (B, K) int level per ROI
+    strides: Tuple[float, ...],
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+    kchunk: int = 4,
+    interpret: bool = False,
+) -> Array:
+    """Fused multiscale ROI-align → (B, K, M, M, C); numerics match the XLA
+    canvas path to bf16 rounding.  Differentiable w.r.t. ``features`` (the
+    backward pass reuses the XLA canvas formulation's autodiff)."""
+    return _canvas_pallas_impl(
+        tuple(features), boxes, levels, strides, output_size, sampling_ratio,
+        aligned, kchunk, interpret,
+    )
+
+
+def _canvas_fwd(features, boxes, levels, strides, output_size, sampling_ratio,
+                aligned, kchunk, interpret):
+    out = _canvas_pallas_impl(
+        tuple(features), boxes, levels, strides, output_size, sampling_ratio,
+        aligned, kchunk, interpret,
+    )
+    return out, (tuple(features), boxes, levels)
+
+
+def _canvas_bwd(strides, output_size, sampling_ratio, aligned, kchunk,
+                interpret, res, g):
+    from .roi_align import _multiscale_roi_align_canvas
+
+    features, boxes, levels = res
+
+    def ref(fs):
+        return _multiscale_roi_align_canvas(
+            fs, boxes, levels, strides, output_size, sampling_ratio, aligned
+        )
+
+    _, vjp = jax.vjp(ref, features)
+    (dfs,) = vjp(g.astype(features[0].dtype))
+    return dfs, jnp.zeros_like(boxes), jnp.zeros_like(levels)
+
+
+multiscale_roi_align_canvas_pallas.defvjp(_canvas_fwd, _canvas_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio", "aligned",
+                     "kchunk", "interpret"),
+)
+def _canvas_pallas_impl(features, boxes, levels, strides, output_size,
+                        sampling_ratio, aligned, kchunk, interpret):
+    M, n = output_size, sampling_ratio
+    S = M * n
+    B, H0, W0, C = features[0].shape
+    offs, stacked, metas = [], [], []
+    off = 0
+    for f, s in zip(features, strides):
+        h, w = f.shape[1:3]
+        stacked.append(jnp.pad(f, ((0, 0), (0, 0), (0, W0 - w), (0, 0))))
+        metas.append((off, h, w, float(s)))
+        off += h
+    canvas = jnp.concatenate(stacked, axis=1)
+    Ht = off
+
+    # per-ROI sample coords + level bounds, computed once in XLA (cheap)
+    meta = jnp.asarray(metas, jnp.float32)
+    lv = jnp.clip(levels, 0, len(features) - 1)
+    moff, mh, mw = meta[lv, 0], meta[lv, 1], meta[lv, 2]
+    scale = 1.0 / meta[lv, 3]
+    bf = boxes.astype(jnp.float32)
+    offset = 0.5 if aligned else 0.0
+    x1 = bf[..., 0] * scale - offset
+    y1 = bf[..., 1] * scale - offset
+    x2 = bf[..., 2] * scale - offset
+    y2 = bf[..., 3] * scale - offset
+    roi_w, roi_h = x2 - x1, y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    s_idx = jnp.arange(S, dtype=jnp.float32) + 0.5
+    ys = y1[..., None] + s_idx * (roi_h / S)[..., None] + moff[..., None]
+    xs = x1[..., None] + s_idx * (roi_w / S)[..., None]
+
+    def sample_taps(coords, lo, hi):
+        # (B, K, S) coords with per-ROI [lo, hi) windows → floor index +
+        # low/high bilinear weights (_bounded_interp_matrix semantics: zero
+        # outside (lo-1, hi), clamp to border, high tap folded onto the
+        # border row when low == hi-1).  The kernel turns these into dense
+        # rows via iota compares — no per-ROI bound math on-chip.
+        lo2, hi2 = lo[..., None], hi[..., None]
+        in_range = ((coords > lo2 - 1.0) & (coords < hi2)).astype(jnp.float32)
+        cc = jnp.clip(coords, lo2, hi2 - 1.0)
+        low = jnp.floor(cc)
+        lw = cc - low
+        clamped = low + 1.0 > hi2 - 1.0            # high tap would leave the window
+        wl = (1.0 - lw) * in_range + jnp.where(clamped, lw * in_range, 0.0)
+        wh = jnp.where(clamped, 0.0, lw * in_range)
+        return low, wl, wh
+
+    ylow, ywl, ywh = sample_taps(ys, moff, moff + mh)
+    xlow, xwl, xwh = sample_taps(xs, jnp.zeros_like(mw), mw)
+
+    K = boxes.shape[1]
+    pad = (-K) % kchunk
+    taps = (ylow, ywl, ywh, xlow, xwl, xwh)
+    if pad:
+        taps = tuple(jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in taps)
+    Kp = K + pad
+
+    out = pl.pallas_call(
+        functools.partial(
+            _canvas_kernel, M=M, n=n, Ht=Ht, W0=W0, C=C, kchunk=kchunk,
+        ),
+        grid=(B, Kp // kchunk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
+            # one image's full canvas stays resident across its ROI chunks
+            pl.BlockSpec((1, Ht, W0, C), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kchunk, M, M, C), lambda b, c: (b, c, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Kp, M, M, C), features[0].dtype),
+        # The canvas block (~6 MB at flagship shapes) is double-buffered by
+        # the Mosaic pipeline; together with the in-kernel row intermediates
+        # that exceeds XLA's default 16 MB scoped-vmem budget for the custom
+        # call whenever the canvas comes out of a producing fusion.  Raise the
+        # per-op budget explicitly (v5e has 128 MB VMEM/core).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*taps, canvas)
+    return out[:, :K]

@@ -175,6 +175,30 @@ def _bounded_interp_matrix(coords: Array, lo: Array, hi: Array, size: int,
     return w.reshape(*w.shape[:-2], M, n, size).mean(-2)
 
 
+def _pallas_canvas_ok(features: Sequence[Array]) -> bool:
+    """Gate for the fused Pallas canvas kernel (pallas_roi_align.py).
+
+    OFF by default: measured on v5e (flagship mask branch, B=16, K=100,
+    C=256, kchunk swept 2..8) the fused kernel runs 8.6-9.8 ms vs 4.4 ms for
+    the XLA canvas einsum — the per-ROI transpose/matmul loop serializes on
+    sub-MXU-width tiles while XLA batches all ROIs into two big einsums.
+    Kept as an opt-in (HDYOLO_PALLAS_ROI=1) for future Mosaic revisits.
+    Requires: single-chip TPU (the un-shard_mapped pallas_call would not
+    partition under a mesh), 128-lane channels, canvas fits VMEM."""
+    import os
+
+    if os.environ.get("HDYOLO_PALLAS_ROI", "0") != "1":
+        return False
+    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+        return False
+    B, H0, W0, C = features[0].shape
+    if C % 128 != 0:
+        return False
+    ht = sum(int(f.shape[1]) for f in features)
+    vmem_bytes = ht * W0 * C * features[0].dtype.itemsize
+    return vmem_bytes <= 8 * 1024 * 1024
+
+
 def multiscale_roi_align_batched(
     features: Sequence[Array],   # per level (B, H_l, W_l, C)
     boxes: Array,                # (B, K, 4) xyxy image coords
@@ -199,6 +223,17 @@ def multiscale_roi_align_batched(
     v5e for the flagship mask branch (B=8, K=100, C=256).
     """
     if use_pallas is None or use_pallas:
+        # use_pallas=None auto-selects the fused Pallas canvas kernel on a
+        # single-chip TPU (the bench/serving case); use_pallas=True pins the
+        # XLA canvas einsum (differential testing / sharded contexts).
+        if use_pallas is None and _pallas_canvas_ok(features):
+            from .pallas_roi_align import multiscale_roi_align_canvas_pallas
+
+            return multiscale_roi_align_canvas_pallas(
+                tuple(features), boxes, levels,
+                tuple(float(s) for s in strides), output_size, sampling_ratio,
+                aligned,
+            )
         return _multiscale_roi_align_canvas(
             tuple(features), boxes, levels, tuple(float(s) for s in strides),
             output_size, sampling_ratio, aligned,

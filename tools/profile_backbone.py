@@ -79,8 +79,7 @@ def main():
         row = spec.layers[n - 1]
         print(json.dumps({
             "layer": n - 1,
-            "module": type(model.blocks[n - 1][0] if isinstance(model.blocks[n - 1], list)
-                           else model.blocks[n - 1]).__name__,
+            "module": f"{row.module}x{row.n}",
             "ms_cum": round(dt * 1e3, 3),
             "ms_delta": round((dt - prev) * 1e3, 3),
         }), flush=True)
