@@ -2,11 +2,12 @@
 """Headline benchmark: tiles/sec/chip for flagship 640px WSI tile inference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the ratio vs an architecture-identical PyTorch-fp32-CPU
-trunk (the reference's deployment bench is CPU ``time_per_image``,
-/root/reference/evaluation.py:97-104; the reference itself can't run here —
-torchvision/torch_scatter are absent — so the baseline is the FLOPs-matched
-torch mirror in hd_yolo_tpu/utils/torch_baseline.py).
+``vs_baseline`` is the ratio vs the MEASURED reference baseline: the ACTUAL
+``/root/reference/evaluation.py::run`` executed unmodified on CPU via the
+``refshim/`` compat layer (its own ``time_per_image`` metric,
+evaluation.py:97-104; recorded in BASELINE_MEASURED.json by
+tools/reference_baseline.py).  Fallback when that file is absent: the
+FLOPs-matched torch mirror in hd_yolo_tpu/utils/torch_baseline.py.
 
 Timing note: the axon tunnel adds ~29 ms fixed overhead per dispatch+fetch
 (measured: a trivial jitted add costs the same as a full trunk forward), so

@@ -96,11 +96,60 @@ class ConvBnAct(nn.Module):
     act: Union[bool, str] = True
     dtype: Dtype = jnp.float32
 
+    def _stem_fastpath_ok(self, x: Array, k, p, train: bool) -> bool:
+        """Gate for the fused Pallas stem kernel (ops/pallas_stem.py).
+
+        The C_in<=4 first conv is the one conv XLA schedules badly on TPU
+        (2.7 ms/batch-8 at 640px ≈ 24x roofline — the 3-channel contracted
+        dim wastes 125/128 MXU lanes).  Inference-only: training keeps the
+        XLA conv so BN batch stats/grads flow through the standard path.
+        Kill switch: HDYOLO_PALLAS_STEM=0."""
+        import os
+
+        if os.environ.get("HDYOLO_PALLAS_STEM", "1") != "1":
+            return False
+        if train or self.is_initializing() or self.groups != 1:
+            return False
+        from ..ops.pallas_stem import _ACTS, _device_ok
+
+        if not _device_ok():
+            return False
+        s = _pair(self.stride)
+        act_key = self.act if not isinstance(self.act, bool) else (
+            "silu" if self.act else "identity")
+
+        return (
+            x.ndim == 4
+            and x.shape[-1] <= 4
+            and k[0] == k[1] and s[0] == s[1] and p[0] == p[1]
+            and k[0] % s[0] == 0
+            and k[0] >= s[0] > 1
+            and isinstance(act_key, str) and act_key in _ACTS
+            and self.has_variable("params", "conv")
+            and self.has_variable("batch_stats", "bn")
+        )
+
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         k = _pair(self.kernel_size)
         p = autopad(self.kernel_size, self.padding)
         p = _pair(p)
+        if self._stem_fastpath_ok(x, k, p, train):
+            from ..ops.pallas_stem import stem_conv_pallas
+
+            v = self.variables
+            w = v["params"]["conv"]["kernel"].astype(jnp.float32)
+            bnp, bns = v["params"]["bn"], v["batch_stats"]["bn"]
+            inv = bnp["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+                bns["var"].astype(jnp.float32) + BN_EPS)
+            bias = bnp["bias"].astype(jnp.float32) - bns["mean"].astype(jnp.float32) * inv
+            act_key = self.act if not isinstance(self.act, bool) else (
+                "silu" if self.act else "identity")
+            return stem_conv_pallas(
+                x, w, inv, bias,
+                stride=_pair(self.stride)[0], padding=p[0], act=act_key,
+                out_dtype=self.dtype,
+            )
         x = nn.Conv(
             self.out_channels,
             kernel_size=k,

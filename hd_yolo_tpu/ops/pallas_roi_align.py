@@ -192,45 +192,37 @@ def _roi_align_pallas_impl(
 # /root/reference/metayolo/models/yolo_head.py:243,294.
 
 
-def _canvas_kernel(ylow_ref, ywl_ref, ywh_ref, xlow_ref, xwl_ref, xwh_ref,
-                   f_ref, out_ref,
-                   *, M: int, n: int, Ht: int, W0: int, C: int, kchunk: int):
-    S = M * n
-    b = pl.program_id(0)
-    c = pl.program_id(1)
-    k0 = c * kchunk
+def _canvas_kernel(wy_ref, wx_ref, f_ref, out_ref,
+                   *, M: int, Ht: int, W0: int, C: int, K: int, kchunk: int):
+    """One grid step = one image.  The level canvas stays resident in VMEM
+    across all of the image's ROI chunks (v1 re-streamed it per chunk, which
+    HBM-bound the kernel); interpolation matrices arrive dense from XLA.
 
-    wdtype = f_ref.dtype  # Mosaic matmuls always accumulate in f32
+    Per chunk: rows = Wy·F (one MXU matmul for the whole chunk), then the
+    x-contraction as a single batched ``dot_general`` over the chunk's ROIs
+    — v1's per-ROI python loop of (M, W0) matmuls serialized on sub-MXU
+    tiles."""
+    wdtype = f_ref.dtype  # matmul inputs; Mosaic accumulates in f32
+    f2 = f_ref[0].reshape(Ht, W0 * C)
 
-    def interp(low_ref, wl_ref, wh_ref, size):
-        # per-sample floor index / bilinear weights precomputed in XLA
-        # (ops/roi_align semantics incl. per-ROI level bounds) → dense
-        # (kchunk, M, size) bin-pooled rows via iota compares; all mask math
-        # in f32 (Mosaic can't minor-dim-expand i1 vectors).
-        low = low_ref[b, pl.ds(k0, kchunk), :]        # (kchunk, S) f32
-        wl = wl_ref[b, pl.ds(k0, kchunk), :]
-        wh = wh_ref[b, pl.ds(k0, kchunk), :]
-        grid = jax.lax.broadcasted_iota(jnp.int32, (kchunk, S, size), 2).astype(jnp.float32)
-        low_b = low[..., None]
-        w = (grid == low_b).astype(jnp.float32) * wl[..., None] \
-            + (grid == low_b + 1.0).astype(jnp.float32) * wh[..., None]
-        return w.reshape(kchunk, M, n, size).mean(2)
+    def body(c, _):
+        k0 = c * kchunk
+        wy = wy_ref[0, pl.ds(k0, kchunk)].astype(wdtype)       # (k, M, Ht)
+        wx = wx_ref[0, pl.ds(k0, kchunk)].astype(wdtype)       # (k, M, W0)
+        rows = jnp.dot(
+            wy.reshape(kchunk * M, Ht), f2,
+            preferred_element_type=jnp.float32,
+        ).astype(wdtype).reshape(kchunk, M, W0, C)
+        # out[r, i, j, c] = Σ_w wx[r, j, w] · rows[r, i, w, c]
+        vals = jax.lax.dot_general(
+            wx, rows,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                      # (k, Mj, Mi, C)
+        out_ref[0, pl.ds(k0, kchunk)] = vals.transpose(0, 2, 1, 3).astype(out_ref.dtype)
+        return 0
 
-    Wy = interp(ylow_ref, ywl_ref, ywh_ref, Ht).astype(wdtype)   # (k, M, Ht)
-    Wx = interp(xlow_ref, xwl_ref, xwh_ref, W0).astype(wdtype)   # (k, M, W0)
-
-    f = f_ref[0]                                                 # (Ht, W0, C)
-    rows = jnp.dot(
-        Wy.reshape(kchunk * M, Ht), f.reshape(Ht, W0 * C),
-        preferred_element_type=jnp.float32,
-    ).astype(wdtype).reshape(kchunk, M, W0, C)
-
-    for r in range(kchunk):
-        rw = rows[r].transpose(1, 0, 2).reshape(W0, M * C)          # (W0, My·C)
-        vals = jnp.dot(Wx[r], rw, preferred_element_type=jnp.float32)  # (Mx, My·C)
-        out_ref[0, r] = (
-            vals.reshape(M, M, C).transpose(1, 0, 2).astype(out_ref.dtype)
-        )
+    jax.lax.fori_loop(0, K // kchunk, body, 0)
 
 
 @functools.partial(
@@ -291,10 +283,12 @@ multiscale_roi_align_canvas_pallas.defvjp(_canvas_fwd, _canvas_bwd)
 )
 def _canvas_pallas_impl(features, boxes, levels, strides, output_size,
                         sampling_ratio, aligned, kchunk, interpret):
+    from .roi_align import _bounded_interp_matrix
+
     M, n = output_size, sampling_ratio
     S = M * n
     B, H0, W0, C = features[0].shape
-    offs, stacked, metas = [], [], []
+    stacked, metas = [], []
     off = 0
     for f, s in zip(features, strides):
         h, w = f.shape[1:3]
@@ -304,7 +298,9 @@ def _canvas_pallas_impl(features, boxes, levels, strides, output_size,
     canvas = jnp.concatenate(stacked, axis=1)
     Ht = off
 
-    # per-ROI sample coords + level bounds, computed once in XLA (cheap)
+    # per-ROI sample coords + dense bin-pooled interp matrices, computed once
+    # in XLA — identical construction to _multiscale_roi_align_canvas, so the
+    # kernel numerics match the einsum path exactly
     meta = jnp.asarray(metas, jnp.float32)
     lv = jnp.clip(levels, 0, len(features) - 1)
     moff, mh, mw = meta[lv, 0], meta[lv, 1], meta[lv, 2]
@@ -323,54 +319,40 @@ def _canvas_pallas_impl(features, boxes, levels, strides, output_size,
     ys = y1[..., None] + s_idx * (roi_h / S)[..., None] + moff[..., None]
     xs = x1[..., None] + s_idx * (roi_w / S)[..., None]
 
-    def sample_taps(coords, lo, hi):
-        # (B, K, S) coords with per-ROI [lo, hi) windows → floor index +
-        # low/high bilinear weights (_bounded_interp_matrix semantics: zero
-        # outside (lo-1, hi), clamp to border, high tap folded onto the
-        # border row when low == hi-1).  The kernel turns these into dense
-        # rows via iota compares — no per-ROI bound math on-chip.
-        lo2, hi2 = lo[..., None], hi[..., None]
-        in_range = ((coords > lo2 - 1.0) & (coords < hi2)).astype(jnp.float32)
-        cc = jnp.clip(coords, lo2, hi2 - 1.0)
-        low = jnp.floor(cc)
-        lw = cc - low
-        clamped = low + 1.0 > hi2 - 1.0            # high tap would leave the window
-        wl = (1.0 - lw) * in_range + jnp.where(clamped, lw * in_range, 0.0)
-        wh = jnp.where(clamped, 0.0, lw * in_range)
-        return low, wl, wh
-
-    ylow, ywl, ywh = sample_taps(ys, moff, moff + mh)
-    xlow, xwl, xwh = sample_taps(xs, jnp.zeros_like(mw), mw)
+    cdtype = canvas.dtype if canvas.dtype == jnp.bfloat16 else jnp.float32
+    Wy = _bounded_interp_matrix(ys, moff, moff + mh, Ht, M, n).astype(cdtype)
+    Wx = _bounded_interp_matrix(xs, jnp.zeros_like(mw), mw, W0, M, n).astype(cdtype)
 
     K = boxes.shape[1]
     pad = (-K) % kchunk
-    taps = (ylow, ywl, ywh, xlow, xwl, xwh)
     if pad:
-        taps = tuple(jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in taps)
+        Wy = jnp.pad(Wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        Wx = jnp.pad(Wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
     Kp = K + pad
 
     out = pl.pallas_call(
         functools.partial(
-            _canvas_kernel, M=M, n=n, Ht=Ht, W0=W0, C=C, kchunk=kchunk,
+            _canvas_kernel, M=M, Ht=Ht, W0=W0, C=C, K=Kp, kchunk=kchunk,
         ),
-        grid=(B, Kp // kchunk),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
-            # one image's full canvas stays resident across its ROI chunks
-            pl.BlockSpec((1, Ht, W0, C), lambda b, c: (b, 0, 0, 0),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Kp, M, Ht), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp, M, W0), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ht, W0, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, kchunk, M, M, C), lambda b, c: (b, c, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, Kp, M, M, C), lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Kp, M, M, C), features[0].dtype),
-        # The canvas block (~6 MB at flagship shapes) is double-buffered by
-        # the Mosaic pipeline; together with the in-kernel row intermediates
-        # that exceeds XLA's default 16 MB scoped-vmem budget for the custom
-        # call whenever the canvas comes out of a producing fusion.  Raise the
-        # per-op budget explicitly (v5e has 128 MB VMEM/core).
+        # Canvas (~6 MB) + interp mats + full-image output (~10 MB) are all
+        # double-buffered by the Mosaic pipeline; raise the per-op scoped-vmem
+        # budget above XLA's 16 MB default (v5e has 128 MB VMEM/core).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*taps, canvas)
+    )(Wy, Wx, canvas)
     return out[:, :K]

@@ -76,3 +76,72 @@ def test_pallas_canvas_multiscale_matches_xla(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_stem_matches_xla_conv(rng):
+    """Fused stem kernel (s2d + conv + BN-fold + act) vs lax conv, several
+    (K, s, p, C_in) stem shapes, interpret mode."""
+    from jax import lax
+
+    from hd_yolo_tpu.ops.pallas_stem import stem_conv_pallas
+
+    for (H, W, K, s, p, C, N) in [(64, 64, 6, 2, 2, 3, 64),
+                                  (40, 48, 4, 4, 0, 3, 96),
+                                  (64, 64, 2, 2, 0, 4, 32)]:
+        x = rng.standard_normal((2, H, W, C)).astype(np.float32)
+        w = (rng.standard_normal((K, K, C, N)) * 0.1).astype(np.float32)
+        scale = rng.uniform(0.5, 1.5, N).astype(np.float32)
+        bias = (rng.standard_normal(N) * 0.1).astype(np.float32)
+
+        ref = lax.conv_general_dilated(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16),
+            (s, s), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ref = jax.nn.silu(ref.astype(np.float32) * scale + bias)
+
+        got = stem_conv_pallas(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+            jnp.asarray(bias), stride=s, padding=p, act="silu",
+            out_dtype=jnp.float32, interpret=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-2 * float(np.abs(ref).max()))
+
+
+def test_convbnact_stem_fastpath_matches_standard(rng, monkeypatch):
+    """ConvBnAct rerouted through the Pallas stem (gate monkeypatched on,
+    interpret on CPU) must match its own standard XLA path on trained-ish
+    BN stats, and training mode must never take the fast path."""
+    from hd_yolo_tpu.models.layers import ConvBnAct
+    from hd_yolo_tpu.ops import pallas_stem
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    m = ConvBnAct(64, 6, 2, 2, dtype=jnp.float32)
+    vs = m.init(jax.random.PRNGKey(0), x, train=True)
+    # make running stats non-trivial
+    vs = jax.tree_util.tree_map(lambda a: a, vs)
+    stats = dict(vs["batch_stats"]["bn"])
+    stats["mean"] = jnp.asarray(rng.standard_normal(64).astype(np.float32)) * 0.1
+    stats["var"] = jnp.asarray(rng.uniform(0.5, 2.0, 64).astype(np.float32))
+    vs = {"params": vs["params"], "batch_stats": {"bn": stats}}
+
+    ref = m.apply(vs, x, train=False)
+
+    calls = []
+    orig = pallas_stem.stem_conv_pallas
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pallas_stem, "_device_ok", lambda: True)
+    monkeypatch.setattr(pallas_stem, "stem_conv_pallas", spy)
+    got = m.apply(vs, x, train=False)
+    assert len(calls) == 1, "fast path not taken"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4 * float(np.abs(np.asarray(ref)).max()))
+
+    # train=True must use the standard path (BN batch stats + grads)
+    calls.clear()
+    m.apply(vs, x, train=True, mutable=["batch_stats"])
+    assert not calls
