@@ -64,6 +64,7 @@ class DetectionDataset:
         in_memory: bool = True,
         cache_images: bool = False,
         root: Optional[str] = None,
+        host_augment: bool = True,
     ):
         self.hyp = dict(hyp)
         self.train = train
@@ -104,6 +105,15 @@ class DetectionDataset:
         # RAM.  uint8 RGB ≈ 1.2 MB per 640² tile.
         self.cache_images = bool(cache_images)
         self._img_cache: List[Optional[np.ndarray]] = [None] * len(self.images)
+
+        # raw mode (``--device-augment``): the train __getitem__ skips every
+        # host augmentation (mosaic/warp/flips/HSV) and serves a DETERMINISTIC
+        # resized tile + padded targets — data/device_augment.py applies the
+        # full recipe inside the jitted train step.  Deterministic samples are
+        # fully cacheable: with cache_images the steady-state per-sample host
+        # cost is a dict of array refs (the 1-core-host fix).
+        self.host_augment = bool(host_augment)
+        self._sample_cache: List[Optional[dict]] = [None] * len(self.images)
 
     # ------------------------------------------------------------------ loading
     def __len__(self) -> int:
@@ -237,6 +247,8 @@ class DetectionDataset:
 
     # ---------------------------------------------------------------- get item
     def __getitem__(self, idx: int) -> Dict[str, object]:
+        if self.train and not self.host_augment:
+            return self._raw_sample(idx)
         if self.train:
             img, anns = self._train_sample(idx)
             # mixup of two mosaics behind hyp['mixup'] (the reference recipe,
@@ -254,6 +266,25 @@ class DetectionDataset:
             else:
                 img, anns = self._resize(img, anns, self.img_size)
         return self._to_padded(img, anns)
+
+    def _raw_sample(self, idx: int) -> Dict[str, object]:
+        """Device-augment feed: resize-only tile + padded targets, cacheable.
+
+        The small-object filter is left to the device recipe (it must apply
+        AFTER the geometric warp, as the host chain does in _to_padded)."""
+        cached = self._sample_cache[idx] if self.cache_images else None
+        if cached is not None:
+            return cached
+        img, anns = self.load_image_and_target(idx)
+        if self.keep_res > 0:
+            img, anns = self._rescale(img, anns, self.keep_res)
+            img, anns = self._pad_or_crop(img, anns, self.img_size, pos="center")
+        else:
+            img, anns = self._resize(img, anns, self.img_size)
+        sample = self._to_padded(img, anns, small_filter=False)
+        if self.cache_images:
+            self._sample_cache[idx] = sample
+        return sample
 
     def _train_sample(self, idx: int):
         k = self.k_mosaic
@@ -299,7 +330,8 @@ class DetectionDataset:
                 )
         return canvas, anns
 
-    def _to_padded(self, img: np.ndarray, anns: Dict[str, Ann]) -> Dict[str, object]:
+    def _to_padded(self, img: np.ndarray, anns: Dict[str, Ann],
+                   small_filter: bool = True) -> Dict[str, object]:
         """Pad every task's annotations to max_targets; 28×28 in-box masks."""
         H, W = img.shape[:2]
         T, M = self.max_targets, self.mask_size
@@ -313,7 +345,8 @@ class DetectionDataset:
             if a is not None and len(a["boxes"]):
                 b = np.asarray(a["boxes"], np.float32)
                 l = np.asarray(a["labels"], np.int64)
-                keep = (b[:, 2] - b[:, 0] > 10) & (b[:, 3] - b[:, 1] > 10)  # small-object filter
+                keep = ((b[:, 2] - b[:, 0] > 10) & (b[:, 3] - b[:, 1] > 10)
+                        if small_filter else np.ones(len(b), bool))  # small-object filter
                 b, l = b[keep], l[keep]
                 mlist = [m for m, k2 in zip(a["masks"], keep) if k2]
                 n = min(len(b), T)

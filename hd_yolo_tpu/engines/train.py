@@ -154,12 +154,14 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         opt.batch_size = autobatch(_probe, fallback=opt.nominal_batch_size)
         LOGGER.info(f"autobatch: batch_size={opt.batch_size}")
 
+    dev_aug = bool(getattr(opt, "device_augment", False))
     train_ds = DetectionDataset(
         data_info["train"],
         {**hyp, "img_size": opt.img_size, "patch_size": opt.patch_size or opt.img_size,
          "k_mosaic": opt.k_mosaic, "keep_res": opt.keep_res},
         train=True, max_targets=opt.max_targets,
         cache_images=getattr(opt, "cache_images", False),
+        host_augment=not dev_aug,
     )
     val_ds = DetectionDataset(
         data_info["val"], {"img_size": opt.img_size},
@@ -265,8 +267,14 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         best_fitness = float(meta.get("best_fitness", 0.0))
         LOGGER.info(f"resumed from epoch {start_epoch}")
 
+    augment_fn = None
+    if dev_aug:
+        from ..data.device_augment import make_device_augment
+
+        augment_fn = make_device_augment(hyp, k_mosaic=opt.k_mosaic)
+        LOGGER.info("device-side augmentation: recipe fused into the train step")
     step_fn = make_train_step(model, tx, mask_weight=1.0 if opt.masks else 0.0,
-                              seed=opt.seed)
+                              seed=opt.seed, augment_fn=augment_fn)
     stopper = EarlyStopping(opt.patience)
     meta_info = data_info.get("meta_info", {})
 
@@ -326,7 +334,9 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                 state, metrics = step_fn(state, batch)
                 step_metrics.append(metrics)
                 callbacks.run("on_train_batch_end")
-            for m in jax.device_get(step_metrics):
+            got_metrics = jax.device_get(step_metrics)  # syncs the epoch's steps
+            t_steps = time.time() - t_epoch             # loader+steps, val excluded
+            for m in got_metrics:
                 # non-finiteness is a per-STEP property (the step was
                 # skipped); count it once, keep the step out of the averages
                 if not np.isfinite(m["loss"]):
@@ -366,7 +376,8 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
             skipped = int(mloss.get("nonfinite_steps", 0))
             LOGGER.info(
                 f"epoch {epoch}: loss={mloss.get('loss', float('nan')):.4f} "
-                f"fitness={fit:.4f} ({time.time()-t_epoch:.0f}s)"
+                f"fitness={fit:.4f} ({time.time()-t_epoch:.0f}s, "
+                f"{steps_per_epoch * opt.batch_size / max(t_steps, 1e-9):.1f} img/s)"
                 + (f" [skipped {skipped} non-finite step(s)]" if skipped else "")
             )
             callbacks.run(
@@ -436,6 +447,10 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="validate every N epochs (ref --noval analog; final "
                         "epoch always validates)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--device-augment", dest="device_augment", action="store_true",
+                   help="run the train augmentation recipe on-device inside "
+                        "the jitted step (thin-host mode); the loader serves "
+                        "cached raw tiles — see data/device_augment.py")
     p.add_argument("--cache-images", dest="cache_images", action="store_true",
                    help="RAM-cache decoded images (ref train.py --cache)")
     p.add_argument("--seed", type=int, default=0)

@@ -55,7 +55,7 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.9999,
-                    train_flag: bool = True, seed: int = 0):
+                    train_flag: bool = True, seed: int = 0, augment_fn=None):
     """Build the jittable train step.
 
     batch = {'image': (B, H, W, 3), 'targets': {task: {boxes, labels, masks,
@@ -100,6 +100,11 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
         # fresh dropout key each step, reproducible from (seed, step) — no
         # state-structure change so existing checkpoints keep restoring
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        if augment_fn is not None:
+            # --device-augment: the whole train-time recipe (mosaic/warp/
+            # flips/HSV, data/device_augment.py) fused into this program —
+            # the host only stacks cached raw tiles
+            batch = augment_fn(jax.random.fold_in(rng, 0x5EED), batch)
         (loss, (new_stats, items)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng
         )

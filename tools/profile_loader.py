@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--cache", action="store_true", help="RAM-cache decoded images")
+    p.add_argument("--raw", action="store_true",
+                   help="device-augment feed (host_augment=False): no host "
+                        "mosaic/warp/HSV, cacheable deterministic samples")
     opt = p.parse_args(argv)
 
     from tools.flagship_train_check import make_nucls_dataset
@@ -37,6 +40,7 @@ def main(argv=None):
         info["train"],
         {**hyp, "img_size": opt.img_size, "patch_size": opt.img_size, "k_mosaic": 2},
         train=True, max_targets=64, cache_images=opt.cache,
+        host_augment=not opt.raw,
     )
     dl = DataLoader(ds, opt.batch_size, workers=opt.workers, infinite=True)
     it = iter(dl)
@@ -47,7 +51,8 @@ def main(argv=None):
         next(it)
     dt = time.time() - t0
     ips = opt.batches * opt.batch_size / dt
-    print(f"loader: {ips:.1f} img/s  ({opt.workers} workers, cache={opt.cache}, 640px mosaic+masks)")
+    mode = "raw (device-augment feed)" if opt.raw else "640px mosaic+masks"
+    print(f"loader: {ips:.1f} img/s  ({opt.workers} workers, cache={opt.cache}, {mode})")
     return 0
 
 
