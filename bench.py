@@ -24,6 +24,29 @@ import numpy as np
 
 
 def main():
+    if (os.environ.get("HDYOLO_PALLAS_STEM") is None
+            and os.environ.get("BENCH_SUB") != "1"):
+        # Try the opt-in Pallas stem fast path (models/layers.py) in a
+        # SACRIFICIAL subprocess: a Mosaic rejection on this libtpu must not
+        # cost the headline number.  Success → its JSON is the result;
+        # anything else → fall through to the stock XLA path in-process.
+        import subprocess
+        env = dict(os.environ, HDYOLO_PALLAS_STEM="1", BENCH_SUB="1")
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=2400)
+            line = next((ln for ln in reversed(r.stdout.strip().splitlines())
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line and json.loads(line).get("value"):
+                print(line)
+                return
+            print(f"stem-enabled bench failed (rc={r.returncode}); "
+                  f"falling back to the XLA stem", file=sys.stderr)
+        except Exception as e:
+            print(f"stem-enabled bench failed ({type(e).__name__}); "
+                  f"falling back to the XLA stem", file=sys.stderr)
+
     import jax
     import jax.numpy as jnp
 

@@ -103,10 +103,12 @@ class ConvBnAct(nn.Module):
         (2.7 ms/batch-8 at 640px ≈ 24x roofline — the 3-channel contracted
         dim wastes 125/128 MXU lanes).  Inference-only: training keeps the
         XLA conv so BN batch stats/grads flow through the standard path.
-        Kill switch: HDYOLO_PALLAS_STEM=0."""
+        OPT-IN (HDYOLO_PALLAS_STEM=1): a Mosaic rejection surfaces at the
+        caller's jit compile, so production entry points enable it behind
+        a fallback (bench.py tries it in a sacrificial subprocess)."""
         import os
 
-        if os.environ.get("HDYOLO_PALLAS_STEM", "1") != "1":
+        if os.environ.get("HDYOLO_PALLAS_STEM", "0") != "1":
             return False
         if train or self.is_initializing() or self.groups != 1:
             return False

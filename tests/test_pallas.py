@@ -134,6 +134,7 @@ def test_convbnact_stem_fastpath_matches_standard(rng, monkeypatch):
         calls.append(1)
         return orig(*a, **k)
 
+    monkeypatch.setenv("HDYOLO_PALLAS_STEM", "1")  # the fast path is opt-in
     monkeypatch.setattr(pallas_stem, "_device_ok", lambda: True)
     monkeypatch.setattr(pallas_stem, "stem_conv_pallas", spy)
     got = m.apply(vs, x, train=False)
