@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip-wsi", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--no-bf16", dest="bf16", action="store_false",
+                    help="f32 compute (the round-3 pre-fix numbers were f32: "
+                         "HNet's dtype default — half MXU peak, 2x HBM)")
     ap.add_argument("--out", default="BENCH_HNET.json")
     args = ap.parse_args()
 
@@ -60,7 +64,7 @@ def main():
     from hd_yolo_tpu.hnet import HNet
 
     cfg = load_cfg("hnet-nucls")
-    model = HNet.from_cfg(cfg)
+    model = HNet.from_cfg(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     B, S = args.batch, args.img
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32))
@@ -81,7 +85,8 @@ def main():
         # remote compiles, tunnel hiccups) must not lose earlier numbers
         existing = json.loads(out_path.read_text()) if out_path.exists() else {}
         existing.update(results)
-        existing["config"] = {"batch": B, "img": S, "params": int(n_params)}
+        existing["config"] = {"batch": B, "img": S, "params": int(n_params),
+                              "dtype": "bf16" if args.bf16 else "f32"}
         out_path.write_text(json.dumps(existing, indent=2))
 
     # ---- 1. inference tiles/s
