@@ -91,6 +91,9 @@ class Detect(nn.Module):
     pre_nms_topk: int = 1024   # proposals entering NMS per image
     max_masks: int = 100       # inference mask-branch ROIs per image
     mask_rois: int = 64        # training mask-loss ROIs per image
+    # inference mask-pool window (feature px), None = exact canvas einsum;
+    # see ops.roi_align.multiscale_roi_align_batched
+    mask_window: Any = None
 
     # ------------------------------------------------------------------ setup
     @property
@@ -275,7 +278,8 @@ class Detect(nn.Module):
             levels_r = out["levels"][:, :R]
             M = self.mask_output_size // 2
             pooled = multiscale_roi_align_batched(
-                list(seg_feats), boxes_r, levels_r, self.spec.strides, M
+                list(seg_feats), boxes_r, levels_r, self.spec.strides, M,
+                window=self.mask_window,
             )
             B = boxes_r.shape[0]
             logits = self.mask_head(pooled.reshape(B * R, M, M, self.dim_reduced))
@@ -389,7 +393,8 @@ class Detect(nn.Module):
 
         M = self.mask_output_size // 2
         pooled = multiscale_roi_align_batched(
-            list(seg_feats), roi_boxes, roi_levels, self.spec.strides, M
+            list(seg_feats), roi_boxes, roi_levels, self.spec.strides, M,
+            window=self.mask_window,
         )
         logits = self.mask_head(pooled.reshape(B * R, M, M, self.dim_reduced))
 

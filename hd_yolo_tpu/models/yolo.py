@@ -66,6 +66,9 @@ class Model(nn.Module):
     max_masks: int = 100
     mask_rois: int = 64
     dim_reduced: int = 256   # mask-branch channel width (yolo_head.py:114)
+    # opt-in mask-pool window (feature px); exact for boxes spanning ≤ w−2
+    # cells at their level — see ops.roi_align.multiscale_roi_align_batched
+    mask_window: Any = None
 
     @classmethod
     def from_cfg(cls, cfg, hyp=None, **kwargs) -> "Model":
@@ -101,6 +104,7 @@ class Model(nn.Module):
                     pre_nms_topk=self.pre_nms_topk,
                     max_masks=self.max_masks,
                     mask_rois=self.mask_rois,
+                    mask_window=self.mask_window,
                     dim_reduced=self.dim_reduced,
                     name=f"header_{h.tag}",
                 )

@@ -24,6 +24,33 @@ Inference-only (no vjp): training keeps the XLA conv so BN batch stats and
 gradients flow through the standard path.  Gated in ``models/layers.py``
 (``ConvBnAct``) to ``train=False``, C_in<=4, k%s==0 — i.e. exactly the
 yolov5 stem shape family.
+
+STATUS (round 3, measured on the real v5e via tools/stem_lab.py): this
+kernel does NOT currently compile on hardware, and the design space has a
+wall.  Findings, so the next attempt doesn't re-tread:
+
+  * The whole-image input block (1, 322, 322, 12) lane-pads 12→128 in VMEM
+    (Mosaic tiles the two minor dims (8,128)) = 26.5 MB against the 16 MB
+    scoped-vmem limit → compile-time OOM; raising the limit via jit
+    compiler_options still OOMs at the next allocation.
+  * Row-blocked variants keep the padding problem: pallas_call pins its HBM
+    operands to default descending layouts, so ANY (…, 12)-minor operand is
+    also 10.7× padded in HBM — the XLA prep that materializes it pays the
+    padded write bandwidth, eating the win before the kernel runs.
+  * A K=108 (all 9 taps in one MXU dot) kernel needs an im2col relayout
+    somewhere: materialized by XLA it costs 21-24 ms/batch-16 (measured:
+    xla_im2col / pallas_dot108 in stem_lab.py); done in-kernel it is a
+    lane-concat of 9×12-lane pieces (~2.5 ms of vector shifts by the vreg
+    cost model).
+  * Every pure-XLA reformulation (bf16 input, NCHW, merged-minor input,
+    s2d conv over C_in=12) lands on the same ~2.7 ms/batch-16 floor; the
+    conv cost is intrinsic to XLA's C_in=3 schedule, not input layout.
+
+The remaining viable design is a merged-minor-dim input (B, HS, WS·12)
+(clean HBM + VMEM) with in-kernel lane-rotates per tap and 9 K=12 dots —
+bounded upside ~1.4 ms/batch-16 (the K=12 dots still waste 116/128 MXU
+lanes, measured floor ≈ 1.2 ms).  Parked: the mask branch offered a bigger,
+layout-clean win (see ops/pallas_mask_head.py).
 """
 
 from __future__ import annotations

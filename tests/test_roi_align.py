@@ -133,3 +133,49 @@ def test_canvas_matches_onehot_path(rng):
     g2 = jax.grad(loss(False))(tuple(feats))
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_windowed_matches_canvas_for_in_window_rois(rng):
+    """The opt-in gathered-window path must be bit-comparable to the exact
+    canvas einsum whenever a ROI's sampled span fits the window (span ≤ w−2
+    feature px at its level), including ROIs hanging off image edges and ROIs
+    on the smallest level (whose window necessarily crosses stacked-canvas
+    level boundaries — the bounded interp rows must zero those reads)."""
+    from hd_yolo_tpu.ops.roi_align import multiscale_roi_align_batched
+
+    B, K, C = 2, 29, 8
+    strides = (8.0, 16.0, 32.0, 64.0)
+    img = 256
+    feats = [
+        jnp.asarray(rng.standard_normal(
+            (B, img // int(s), img // int(s), C)).astype(np.float32))
+        for s in strides
+    ]
+    levels = rng.integers(0, 4, (B, K)).astype(np.int32)
+    boxes = np.zeros((B, K, 4), np.float32)
+    for b in range(B):
+        for k in range(K):
+            s = strides[levels[b, k]]
+            w, h = rng.uniform(2, 10 * s, 2)  # span ≤ 10 cells < window−2
+            x1 = rng.uniform(-12, img - 6)
+            y1 = rng.uniform(-12, img - 6)
+            boxes[b, k] = [x1, y1, x1 + w, y1 + h]
+    boxes, levels = jnp.asarray(boxes), jnp.asarray(levels)
+
+    ref = multiscale_roi_align_batched(feats, boxes, levels, strides, 7)
+    got = multiscale_roi_align_batched(feats, boxes, levels, strides, 7,
+                                       window=12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # gradients w.r.t. features agree (the training mask loss uses the knob)
+    def loss(window):
+        return lambda fs: jnp.sum(
+            multiscale_roi_align_batched(list(fs), boxes, levels, strides, 7,
+                                         window=window) ** 2)
+
+    g1 = jax.grad(loss(None))(tuple(feats))
+    g2 = jax.grad(loss(12))(tuple(feats))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
