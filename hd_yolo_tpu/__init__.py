@@ -28,6 +28,18 @@ if not LOGGER.handlers:
     LOGGER.addHandler(_h)
     LOGGER.setLevel(os.environ.get("HD_YOLO_LOGLEVEL", "INFO"))
 
+# Persistent XLA compilation cache (measured: the flagship train graph takes
+# ~10 min to compile over the remote-compile tunnel; a cache hit is <1 s).
+# Replaces nothing in the reference (TorchScript re-scripts per process) —
+# this is the TPU-native analog of warm-started deployment.  Opt out with
+# HDYOLO_NO_COMPILE_CACHE=1 or by setting JAX_COMPILATION_CACHE_DIR yourself.
+if not os.environ.get("HDYOLO_NO_COMPILE_CACHE"):
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "hd_yolo_tpu", "xla"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
+
 from .config import load_cfg  # noqa: E402,F401
 
 _LAZY = {

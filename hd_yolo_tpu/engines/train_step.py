@@ -55,12 +55,21 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.9999,
-                    train_flag: bool = True, seed: int = 0, augment_fn=None):
+                    train_flag: bool = True, seed: int = 0, augment_fn=None,
+                    resident_data: bool = False):
     """Build the jittable train step.
 
     batch = {'image': (B, H, W, 3), 'targets': {task: {boxes, labels, masks,
     valid[, active]}}}.  Under a mesh, shard batch leaves over 'data' and
     replicate state — jit partitions the rest.
+
+    ``resident_data=True`` (``--cache-device``) changes the signature to
+    ``step(state, data, idx)``: ``data`` is the WHOLE dataset resident in
+    HBM (same tree as a batch, leading axis = n_images) and ``idx`` a (B,)
+    int32 row sample; the batch is gathered on device.  This exists because
+    host→device streaming can be the bottleneck (measured 16 MB/s effective
+    on the tunneled chip ⇒ a 23 MB batch costs ~1.3 s, 13 img/s); the
+    per-step transfer drops to the 64-byte index vector.
 
     ``train_flag=False`` runs the model's validation-mode forward inside the
     step (frozen batch stats, eval decode).  HNet does NOT need it: its
@@ -95,8 +104,7 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
     # ``state = step(state, batch)``).  HDYOLO_NO_DONATE=1 turns it off.
     _donate = () if not _donation_supported() else (0,)
 
-    @partial(jax.jit, donate_argnums=_donate)
-    def train_step(state: TrainState, batch) -> tuple:
+    def _step_body(state: TrainState, batch) -> tuple:
         # fresh dropout key each step, reproducible from (seed, step) — no
         # state-structure change so existing checkpoints keep restoring
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
@@ -121,6 +129,14 @@ def make_train_step(model, tx, mask_weight: float = 1.0, ema_decay: float = 0.99
         metrics = dict(items)
         metrics["loss"] = loss
         return new_state, metrics
+
+    if resident_data:
+        @partial(jax.jit, donate_argnums=_donate)
+        def train_step(state: TrainState, data, idx) -> tuple:
+            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
+            return _step_body(state, batch)
+    else:
+        train_step = partial(jax.jit, donate_argnums=_donate)(_step_body)
 
     return train_step
 

@@ -192,6 +192,29 @@ class Detect(nn.Module):
             outputs = self._compute_outputs(dets, seg_feats, compute_masks)
         return losses, outputs
 
+    def _fused_mask_head_ok(self) -> bool:
+        """Gate for the fused Pallas mask head (ops/pallas_mask_head.py).
+
+        OPT-IN (HDYOLO_PALLAS_MASKHEAD=1): a Mosaic rejection surfaces at
+        the caller's jit compile, so production entry points enable it
+        behind a fallback (bench.py tries it in a sacrificial subprocess).
+        Numerics: bit-comparable in f32; bf16 differs only by rounding of
+        the un-materialized intermediates (tested)."""
+        import os
+
+        if os.environ.get("HDYOLO_PALLAS_MASKHEAD", "0") != "1":
+            return False
+        if self.is_initializing():
+            return False
+        from ..ops.pallas_stem import _device_ok
+
+        return (
+            _device_ok()
+            and self.dim_reduced % 128 == 0
+            and self.mask_output_size % 2 == 0
+            and self.has_variable("params", "mask_head")
+        )
+
     # ----------------------------------------------------------------- decode
     def decode_proposals(self, dets: Sequence[Array]) -> Array:
         """(B, ny, nx, A, no) logits per level → (B, ΣK, no+1) decoded rows
@@ -282,15 +305,24 @@ class Detect(nn.Module):
                 window=self.mask_window,
             )
             B = boxes_r.shape[0]
-            logits = self.mask_head(pooled.reshape(B * R, M, M, self.dim_reduced))
-            probs = jax.nn.sigmoid(logits.astype(jnp.float32)).reshape(
-                B, R, self.mask_output_size, self.mask_output_size, self.nc_masks
-            )
             mask_idx = jnp.asarray(self.mask_indices_list)
             mask_labels = mask_idx[jnp.clip(labels[:, :R], 0, self.nc)]  # −100 → 0
-            sel = jnp.take_along_axis(
-                probs, jnp.clip(mask_labels, 0)[..., None, None, None], axis=-1
-            )[..., 0]
+            if self._fused_mask_head_ok():
+                from ..ops.pallas_mask_head import fused_mask_probs
+
+                sel = fused_mask_probs(
+                    self.mask_head.variables["params"],
+                    pooled.reshape(B * R, M, M, self.dim_reduced),
+                    jnp.clip(mask_labels, 0).reshape(B * R),
+                ).reshape(B, R, self.mask_output_size, self.mask_output_size)
+            else:
+                logits = self.mask_head(pooled.reshape(B * R, M, M, self.dim_reduced))
+                probs = jax.nn.sigmoid(logits.astype(jnp.float32)).reshape(
+                    B, R, self.mask_output_size, self.mask_output_size, self.nc_masks
+                )
+                sel = jnp.take_along_axis(
+                    probs, jnp.clip(mask_labels, 0)[..., None, None, None], axis=-1
+                )[..., 0]
             sel = sel * (mask_labels >= 0)[..., None, None] * det["valid"][:, :R, None, None]
             out["masks"] = sel          # (B, R, 28, 28) in-box probs
             out["mask_valid"] = det["valid"][:, :R] & (mask_labels >= 0)

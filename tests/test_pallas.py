@@ -146,3 +146,47 @@ def test_convbnact_stem_fastpath_matches_standard(rng, monkeypatch):
     calls.clear()
     m.apply(vs, x, train=True, mutable=["batch_stats"])
     assert not calls
+
+
+def test_pallas_mask_head_matches_flax(rng):
+    """Fused mask head (4×conv + deconv + logits + select + sigmoid) vs the
+    flax MaskHead chain, interpret mode, f32 — must be bit-comparable."""
+    from hd_yolo_tpu.models.detect_head import MaskHead
+    from hd_yolo_tpu.ops.pallas_mask_head import fused_mask_probs
+
+    N, M, C, nc = 11, 14, 32, 5   # N not divisible by g → internal pad
+    x = jnp.asarray(rng.standard_normal((N, M, M, C)).astype(np.float32))
+    head = MaskHead(nc_masks=nc, dim_reduced=C, dtype=jnp.float32)
+    v = head.init(jax.random.PRNGKey(0), x)
+    logits = head.apply(v, x)
+    labels = jnp.asarray(rng.integers(0, nc, (N,)).astype(np.int32))
+    want = jax.nn.sigmoid(logits.astype(jnp.float32))
+    want = jnp.take_along_axis(want, labels[:, None, None, None], axis=-1)[..., 0]
+    got = fused_mask_probs(v["params"], x, labels, g=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_detect_fused_mask_head_matches_standard(rng, monkeypatch):
+    """Full flagship-family forward with the fused mask head gated on
+    (monkeypatched device check, interpret on CPU) must reproduce the
+    standard path's mask output."""
+    from hd_yolo_tpu.models import Model
+    from hd_yolo_tpu.models.builder import parse_model_cfg
+    from hd_yolo_tpu.ops import pallas_stem
+
+    spec = parse_model_cfg("yolov5s-test", "hyp-nuclei")
+    model = Model(spec=spec, dtype=jnp.float32, max_masks=8, pre_nms_topk=64)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 160, 160, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = model.apply(v, x, train=False, compute_masks=True)[1]
+
+    monkeypatch.setenv("HDYOLO_PALLAS_MASKHEAD", "1")
+    monkeypatch.setattr(pallas_stem, "_device_ok", lambda: True)
+    got = model.apply(v, x, train=False, compute_masks=True)[1]
+    for task in ref:
+        np.testing.assert_allclose(np.asarray(got[task]["masks"]),
+                                   np.asarray(ref[task]["masks"]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got[task]["mask_valid"]),
+                                      np.asarray(ref[task]["mask_valid"]))

@@ -315,3 +315,54 @@ def test_early_stopping_respects_val_interval():
     assert not stopper(31, 0.0)
     assert not stopper(32, 0.0)
     assert stopper(33, 0.0)
+
+
+def test_resident_data_step_matches_streaming():
+    """--cache-device path: make_train_step(resident_data=True) gathering
+    rows on device must produce the SAME step as the streaming path fed the
+    gathered batch (identical state/seed ⇒ identical metrics)."""
+    model = Model.from_cfg(
+        "yolov5s-test", "hyp-nuclei", mask_rois=4, max_masks=8, pre_nms_topk=64
+    )
+    rng = np.random.default_rng(1)
+    N, B, H = 16, 8, 128
+    data = {
+        "image": jnp.asarray(rng.uniform(0, 1, (N, H, H, 3)).astype(np.float32)),
+        "targets": jax.tree.map(
+            lambda x: jnp.asarray(np.tile(np.asarray(x), (8,) + (1,) * (np.asarray(x).ndim - 1))),
+            make_targets(rng, 2, 8, 4),
+        ),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), data["image"][:B], jax.tree.map(lambda a: a[:B], data["targets"]),
+        train=True, compute_masks=True,
+    )
+    tx = build_optimizer(
+        variables["params"], {"lr0": 0.05, "warmup_epochs": 0.0}, epochs=2, steps_per_epoch=2
+    )
+    mesh = create_mesh()
+    idx = np.asarray([3, 7, 1, 12, 9, 0, 15, 4], np.int32)
+
+    step_res = make_train_step(model, tx, resident_data=True)
+    step_str = make_train_step(model, tx)
+    with mesh:
+        from hd_yolo_tpu.parallel.mesh import batch_sharding
+
+        data_dev = jax.device_put(
+            data, jax.tree.map(lambda _: batch_sharding(mesh), data)
+        )
+        # distinct buffers per state: step donation invalidates its inputs
+        v1 = jax.tree.map(jnp.array, variables)
+        v2 = jax.tree.map(jnp.array, variables)
+        st1 = replicate(TrainState.create(v1, tx), mesh)
+        st1, m1 = step_res(st1, data_dev, shard_batch(idx, mesh))
+
+        batch = jax.tree.map(lambda a: np.asarray(a)[idx], data)
+        st2 = replicate(TrainState.create(v2, tx), mesh)
+        st2, m2 = step_str(st2, shard_batch(batch, mesh))
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   err_msg=k)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), st1.params, st2.params)
+    assert max(jax.tree.leaves(d)) < 1e-6
