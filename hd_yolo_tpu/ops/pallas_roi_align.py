@@ -193,36 +193,34 @@ def _roi_align_pallas_impl(
 
 
 def _canvas_kernel(wy_ref, wx_ref, f_ref, out_ref,
-                   *, M: int, Ht: int, W0: int, C: int, K: int, kchunk: int):
-    """One grid step = one image.  The level canvas stays resident in VMEM
-    across all of the image's ROI chunks (v1 re-streamed it per chunk, which
-    HBM-bound the kernel); interpolation matrices arrive dense from XLA.
+                   *, M: int, Ht: int, W0: int, C: int, kchunk: int):
+    """One grid step = one (image, ROI-chunk) pair.
 
-    Per chunk: rows = Wy·F (one MXU matmul for the whole chunk), then the
-    x-contraction as a single batched ``dot_general`` over the chunk's ROIs
-    — v1's per-ROI python loop of (M, W0) matmuls serialized on sub-MXU
-    tiles."""
+    v3 of this kernel (v1 re-streamed the canvas per chunk; v2 held it for
+    one whole image and looped chunks in a ``fori_loop``, which blocked the
+    Mosaic pipeline from overlapping chunk DMA with compute).  Here the grid
+    is (B, n_chunks) with the canvas block's index map CONSTANT across the
+    chunk axis — Mosaic keeps it resident and only streams the small
+    Wy/Wx/out blocks — and the canvas arrives pre-reshaped from XLA as
+    (Ht, W0·C) so the kernel does no in-VMEM relayout.
+
+    Per step: rows = Wy·F (one fat MXU matmul for the whole chunk), then the
+    x-contraction as a single batched ``dot_general`` over the chunk's ROIs.
+    """
     wdtype = f_ref.dtype  # matmul inputs; Mosaic accumulates in f32
-    f2 = f_ref[0].reshape(Ht, W0 * C)
-
-    def body(c, _):
-        k0 = c * kchunk
-        wy = wy_ref[0, pl.ds(k0, kchunk)].astype(wdtype)       # (k, M, Ht)
-        wx = wx_ref[0, pl.ds(k0, kchunk)].astype(wdtype)       # (k, M, W0)
-        rows = jnp.dot(
-            wy.reshape(kchunk * M, Ht), f2,
-            preferred_element_type=jnp.float32,
-        ).astype(wdtype).reshape(kchunk, M, W0, C)
-        # out[r, i, j, c] = Σ_w wx[r, j, w] · rows[r, i, w, c]
-        vals = jax.lax.dot_general(
-            wx, rows,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                      # (k, Mj, Mi, C)
-        out_ref[0, pl.ds(k0, kchunk)] = vals.transpose(0, 2, 1, 3).astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, K // kchunk, body, 0)
+    wy = wy_ref[0].astype(wdtype)                          # (k, M, Ht)
+    wx = wx_ref[0].astype(wdtype)                          # (k, M, W0)
+    rows = jnp.dot(
+        wy.reshape(kchunk * M, Ht), f_ref[0],
+        preferred_element_type=jnp.float32,
+    ).astype(wdtype).reshape(kchunk, M, W0, C)
+    # out[r, i, j, c] = Σ_w wx[r, j, w] · rows[r, i, w, c]
+    vals = jax.lax.dot_general(
+        wx, rows,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                      # (k, Mj, Mi, C)
+    out_ref[0] = vals.transpose(0, 2, 1, 3).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -236,12 +234,20 @@ def multiscale_roi_align_canvas_pallas(
     output_size: int,
     sampling_ratio: int = 2,
     aligned: bool = False,
-    kchunk: int = 4,
+    kchunk: int = 16,
     interpret: bool = False,
 ) -> Array:
     """Fused multiscale ROI-align → (B, K, M, M, C); numerics match the XLA
-    canvas path to bf16 rounding.  Differentiable w.r.t. ``features`` (the
-    backward pass reuses the XLA canvas formulation's autodiff)."""
+    canvas path to bf16 rounding (max_abs_err 0.0 at flagship shapes on the
+    real chip).  Differentiable w.r.t. ``features`` (the backward pass reuses
+    the XLA canvas formulation's autodiff).
+
+    MEASURED NEGATIVE RESULT (tools/roi_lab.py, v5e, B=16 K=100 C=256 M=14):
+    xla_canvas 4.15 ms vs pallas k4/k10/k20 = 7.70/7.89/8.54 ms; kchunk=50
+    exceeds VMEM (the (kchunk·M, Ht)·(Ht, W0·C) f32 ``rows`` intermediate).
+    The per-ROI x-contraction (14×80 matmuls batched over the chunk) can't
+    feed the MXU, and holding the canvas resident doesn't make up for it.
+    Kept opt-in/off; the XLA canvas path remains the production kernel."""
     return _canvas_pallas_impl(
         tuple(features), boxes, levels, strides, output_size, sampling_ratio,
         aligned, kchunk, interpret,
@@ -329,30 +335,34 @@ def _canvas_pallas_impl(features, boxes, levels, strides, output_size,
         Wy = jnp.pad(Wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
         Wx = jnp.pad(Wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
     Kp = K + pad
+    n_chunks = Kp // kchunk
+    canvas2 = canvas.reshape(B, Ht, W0 * C)  # one HBM relayout, outside the kernel
 
     out = pl.pallas_call(
         functools.partial(
-            _canvas_kernel, M=M, Ht=Ht, W0=W0, C=C, K=Kp, kchunk=kchunk,
+            _canvas_kernel, M=M, Ht=Ht, W0=W0, C=C, kchunk=kchunk,
         ),
-        grid=(B,),
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, Kp, M, Ht), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, kchunk, M, Ht), lambda b, c: (b, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Kp, M, W0), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, kchunk, M, W0), lambda b, c: (b, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ht, W0, C), lambda b: (b, 0, 0, 0),
+            # constant across the chunk axis → Mosaic keeps it resident
+            pl.BlockSpec((1, Ht, W0 * C), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Kp, M, M, C), lambda b: (b, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, kchunk, M, M, C),
+                               lambda b, c: (b, c, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Kp, M, M, C), features[0].dtype),
-        # Canvas (~6 MB) + interp mats + full-image output (~10 MB) are all
-        # double-buffered by the Mosaic pipeline; raise the per-op scoped-vmem
-        # budget above XLA's 16 MB default (v5e has 128 MB VMEM/core).
+        # Canvas (~6 MB) + the chunk's f32 rows intermediate are VMEM
+        # resident; raise the per-op scoped-vmem budget above XLA's 16 MB
+        # default (v5e has 128 MB VMEM/core).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Wy, Wx, canvas)
+    )(Wy, Wx, canvas2)
     return out[:, :K]
