@@ -236,7 +236,19 @@ class BottleneckCSP(nn.Module):
 
 
 class C3(nn.Module):
-    """CSP bottleneck with 3 convs (layers.py:119-131)."""
+    """CSP bottleneck with 3 convs (layers.py:119-131).
+
+    Inference fast path: cv1 and cv2 are two 1x1 convs over the SAME input
+    whose bottleneck width c_ is 64 on the early flagship stages — each
+    wastes half of the MXU's 128 contraction lanes and half of every bf16
+    HBM tile.  tools/c3_lab.py measured running them as ONE conv with
+    concatenated output channels (then split) at 3.55 -> 3.18 ms for the
+    160x160 C3(128, n=3) block on v5e, numerics exact; the same transform
+    applies to every C3 in the network.  BN/act stay per-branch with the
+    exact flax op order, so only the conv itself is reformulated.  Training
+    keeps the two-conv path (per-branch batch-stat updates).  Kill switch:
+    HDYOLO_NO_MERGED_CSP=1.
+    """
 
     out_channels: int
     n: int = 1
@@ -248,13 +260,52 @@ class C3(nn.Module):
     def inner(self, c_: int):
         return [Bottleneck(c_, self.shortcut, self.groups, 1.0, dtype=self.dtype) for _ in range(self.n)]
 
+    def _merged12_ok(self, train: bool) -> bool:
+        import os
+
+        if train or self.is_initializing():
+            return False
+        if os.environ.get("HDYOLO_NO_MERGED_CSP", "0") == "1":
+            return False
+        return (
+            self.has_variable("params", "cv1")
+            and self.has_variable("params", "cv2")
+            and self.has_variable("batch_stats", "cv1")
+            and self.has_variable("batch_stats", "cv2")
+        )
+
+    def _merged12(self, x: Array, c_: int) -> Tuple[Array, Array]:
+        """One 1x1 conv for cv1+cv2 (output channels concatenated), split."""
+        v = self.variables
+        k = jnp.concatenate(
+            [v["params"]["cv1"]["conv"]["kernel"], v["params"]["cv2"]["conv"]["kernel"]],
+            axis=-1,
+        ).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+        def bn_act(yb: Array, name: str) -> Array:
+            # replicate flax BatchNorm(use_running_average=True) op order
+            p, s = v["params"][name]["bn"], v["batch_stats"][name]["bn"]
+            dt = self.dtype
+            mul = jax.lax.rsqrt(s["var"].astype(dt) + BN_EPS) * p["scale"].astype(dt)
+            yb = (yb.astype(dt) - s["mean"].astype(dt)) * mul + p["bias"].astype(dt)
+            return jax.nn.silu(yb)
+
+        return bn_act(y[..., :c_], "cv1"), bn_act(y[..., c_:], "cv2")
+
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         c_ = int(self.out_channels * self.expansion)
-        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        if self._merged12_ok(train):
+            y1, y2 = self._merged12(x, c_)
+        else:
+            y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+            y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         for m in self.inner(c_):
             y1 = m(y1, train)
-        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
         return ConvBnAct(self.out_channels, 1, 1, dtype=self.dtype, name="cv3")(y, train)
 

@@ -202,3 +202,37 @@ def test_flagship_param_golden():
         assert got == want, f"{k}: {got} != {want}"
     trunk = sum(v for v in golden.values())
     assert trunk == 76_116_352
+
+
+def test_c3_merged12_matches_two_conv_path(monkeypatch):
+    """The inference-only merged cv1+cv2 formulation (layers.C3._merged12,
+    measured 3.55->3.18 ms on the 160px C3(128,n=3) block, tools/c3_lab.py)
+    must be numerically identical to the standard per-branch path in both
+    f32 and bf16 — and training must keep the two-conv path so batch-stat
+    updates stay per-branch."""
+    from hd_yolo_tpu.models.layers import C3
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 128)),
+                    jnp.float32)
+    m = C3(128, n=2, dtype=jnp.float32)
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+
+    monkeypatch.setenv("HDYOLO_NO_MERGED_CSP", "1")
+    want = np.asarray(m.apply(vars_, x, train=False))
+    monkeypatch.delenv("HDYOLO_NO_MERGED_CSP")
+    got = np.asarray(m.apply(vars_, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    m16 = C3(128, n=2, dtype=jnp.bfloat16)
+    want16 = np.asarray(m16.apply(vars_, x, train=False), np.float32)
+    monkeypatch.setenv("HDYOLO_NO_MERGED_CSP", "1")
+    got16 = np.asarray(m16.apply(vars_, x, train=False), np.float32)
+    np.testing.assert_allclose(got16, want16, rtol=1e-6, atol=1e-6)
+
+    # train mode: batch_stats must still update independently per branch
+    monkeypatch.delenv("HDYOLO_NO_MERGED_CSP")
+    _, mut = m.apply(vars_, x, train=True, mutable=["batch_stats"])
+    for name in ("cv1", "cv2"):
+        assert not np.allclose(
+            np.asarray(mut["batch_stats"][name]["bn"]["mean"]),
+            np.asarray(vars_["batch_stats"][name]["bn"]["mean"]))
