@@ -53,9 +53,13 @@ class FeaturePyramidNetwork(nn.Module):
             for i in range(self.num_levels)
         ]
         if self.extra_blocks >= 2:
-            self.p6_conv = nn.Conv(C, (3, 3), strides=(2, 2), padding="SAME",
+            # explicit (1,1) pad: flax SAME pads (0,1) on stride-2 even
+            # inputs, torchvision's padding=1 pads both sides (golden-matched)
+            self.p6_conv = nn.Conv(C, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)),
                                    dtype=self.dtype, name="p6")
-            self.p7_conv = nn.Conv(C, (3, 3), strides=(2, 2), padding="SAME",
+            self.p7_conv = nn.Conv(C, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)),
                                    dtype=self.dtype, name="p7")
 
     def _fuse(self, feats: Sequence[Array]) -> List[Array]:
@@ -70,7 +74,10 @@ class FeaturePyramidNetwork(nn.Module):
         if self.extra_blocks == 1:
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         elif self.extra_blocks >= 2:
-            p6 = self.p6_conv(feats[-1])
+            # P6 from P5 (not raw C5): torchvision LastLevelP6P7 with
+            # in_channels == out_channels (the reference's configuration,
+            # hnet.py:131-133) sets use_P5=True — golden-matched
+            p6 = self.p6_conv(outs[-1])
             p7 = self.p7_conv(jax.nn.relu(p6))
             outs.extend([p6, p7])
         return outs

@@ -39,7 +39,11 @@ def generate_anchors(
     sizes: Sequence[float],
     aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0),
 ) -> List[Array]:
-    """Per-level (H·W·A, 4) xyxy anchors (torchvision AnchorGenerator semantics)."""
+    """Per-level (H·W·A, 4) xyxy anchors, EXACTLY torchvision's
+    AnchorGenerator convention (golden-tested vs the reference's subclass in
+    tests/test_reference_golden_hnet.py): zero-centered cell anchors with
+    rounded corners, shifted by i·stride (grid corners, not cell centers),
+    so torch-trained RPN weights transplant bit-for-bit."""
     out = []
     for (h, w), stride, size in zip(level_shapes, strides, sizes):
         ws, hs = [], []
@@ -47,20 +51,19 @@ def generate_anchors(
             ws.append(size / jnp.sqrt(ar))
             hs.append(size * jnp.sqrt(ar))
         ws, hs = jnp.asarray(ws), jnp.asarray(hs)
-        cx = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) * stride
-        cy = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) * stride
-        cx = cx[..., None]
-        cy = cy[..., None]
-        boxes = jnp.stack(
-            [cx - ws / 2, cy - hs / 2, cx + ws / 2, cy + hs / 2], -1
-        )  # (h, w, A, 4)
-        out.append(boxes.reshape(-1, 4))
+        base = jnp.stack([-ws, -hs, ws, hs], -1) / 2  # (A, 4)
+        base = jnp.round(base)
+        sx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * stride
+        sy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * stride
+        shifts = jnp.stack([sx, sy, sx, sy], -1)[:, :, None]  # (h, w, 1, 4)
+        out.append((shifts + base).reshape(-1, 4))
     return out
 
 
-def decode_deltas(anchors: Array, deltas: Array, clip: float = 4.135) -> Array:
+def decode_deltas(anchors: Array, deltas: Array, clip: float = 4.135,
+                  weights: Tuple[float, ...] = BBOX_REG_WEIGHTS) -> Array:
     """(dx, dy, dw, dh)·weights⁻¹ applied to anchors → xyxy."""
-    wx, wy, ww, wh = BBOX_REG_WEIGHTS
+    wx, wy, ww, wh = weights
     a = xyxy2xywh(anchors)
     dx, dy, dw, dh = jnp.split(deltas, 4, axis=-1)
     cx = a[..., 0:1] + dx / wx * a[..., 2:3]
@@ -70,8 +73,9 @@ def decode_deltas(anchors: Array, deltas: Array, clip: float = 4.135) -> Array:
     return xywh2xyxy(jnp.concatenate([cx, cy, w, h], -1))
 
 
-def encode_deltas(anchors: Array, gt: Array) -> Array:
-    wx, wy, ww, wh = BBOX_REG_WEIGHTS
+def encode_deltas(anchors: Array, gt: Array,
+                  weights: Tuple[float, ...] = BBOX_REG_WEIGHTS) -> Array:
+    wx, wy, ww, wh = weights
     a = xyxy2xywh(anchors)
     g = xyxy2xywh(gt)
     eps = 1e-6
@@ -113,18 +117,41 @@ def assign_targets(
     return labels, best_gt
 
 
-def balanced_bce(logits: Array, labels: Array, pos_fraction: float = 0.5) -> Array:
-    """Objectness BCE with the reference's sampler budget replaced by global
-    reweighting: negatives sum to (1−f)/f × positive weight."""
+def sampler_weights(
+    pos: Array, neg: Array, budget: float, pos_fraction: float
+) -> Tuple[Array, Array, Array]:
+    """Expectation-equivalent of torchvision's BalancedPositiveNegativeSampler
+    (the reference trains with budget 256/f=0.5 for the RPN and 512/f=0.25
+    for the RoI head, utils_det.py:22-46): instead of randomly drawing
+    ``min(n_pos, budget·f)`` positives and filling the budget with random
+    negatives, every positive/negative row gets the PROBABILITY it would be
+    drawn as its loss weight — deterministic, static-shape, and the loss
+    equals the sampler's in expectation.
+
+    Returns ``(weights, pos_draw_prob, n_sampled)``; sampled-mean losses are
+    ``Σ(term·weights)/n_sampled`` (torchvision divides by the sampled count).
+    """
+    n_pos = pos.sum()
+    n_neg = neg.sum()
+    n_pos_s = jnp.minimum(n_pos, budget * pos_fraction)
+    n_neg_s = jnp.minimum(n_neg, budget - n_pos_s)
+    p_pos = n_pos_s / jnp.maximum(n_pos, 1.0)
+    w = pos * p_pos + neg * (n_neg_s / jnp.maximum(n_neg, 1.0))
+    return w, p_pos, jnp.maximum(n_pos_s + n_neg_s, 1.0)
+
+
+def balanced_bce(logits: Array, labels: Array, budget: float = 256.0,
+                 pos_fraction: float = 0.5) -> Array:
+    """Objectness BCE under the expectation sampler — torchvision
+    ``rpn.compute_loss``'s ``binary_cross_entropy_with_logits`` mean over the
+    256 sampled anchors, with the random draw replaced by its expectation."""
     pos = (labels == 1).astype(jnp.float32)
     neg = (labels == 0).astype(jnp.float32)
-    n_pos = jnp.maximum(pos.sum(), 1.0)
-    n_neg = jnp.maximum(neg.sum(), 1.0)
-    w = pos + neg * (n_pos * (1 - pos_fraction) / pos_fraction / n_neg)
+    w, _, n_sampled = sampler_weights(pos, neg, budget, pos_fraction)
     log_p = jax.nn.log_sigmoid(logits)
     log_np = jax.nn.log_sigmoid(-logits)
     bce = -(pos * log_p + neg * log_np)
-    return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w * (pos + neg)), 1.0) * 2.0
+    return jnp.sum(bce * w) / n_sampled
 
 
 class RPNHead(nn.Module):
@@ -217,6 +244,10 @@ class MaskRCNN(nn.Module):
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     rpn_nms_thresh: float = 0.7
+    # the reference RPN's BoxCoder uses unit weights (torchvision rpn), the
+    # RoI head uses BBOX_REG_WEIGHTS — keeping both makes torch-trained
+    # checkpoints transplant exactly
+    rpn_box_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     with_masks: bool = True
     num_keypoints: int = 0          # >0 enables the KeypointRCNN branch
     dtype: Any = jnp.float32
@@ -241,7 +272,8 @@ class MaskRCNN(nn.Module):
 
         def per_image(lg, dl):
             scores, sel = jax.lax.top_k(lg, min(self.pre_nms_topk, lg.shape[0]))
-            boxes = decode_deltas(anchors[sel], dl[sel])
+            boxes = decode_deltas(anchors[sel], dl[sel],
+                                  weights=self.rpn_box_weights)
             boxes = clip_boxes(boxes, image_size)
             ok = (boxes[:, 2] - boxes[:, 0] > 1e-3) & (boxes[:, 3] - boxes[:, 1] > 1e-3)
             idx, keep = nms_padded(boxes, scores, ok, self.rpn_nms_thresh,
@@ -259,7 +291,9 @@ class MaskRCNN(nn.Module):
         area = jnp.sqrt(
             jnp.maximum((boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1]), 1e-6)
         )
-        lvl = jnp.floor(jnp.log2(area / 224.0 + 1e-6) + 4.0) - 2  # stride4 level = 0
+        # torchvision LevelMapper: floor(4 + log2(s/224) + eps), eps OUTSIDE
+        # the log (golden-matched); stride-4 level rebased to 0
+        lvl = jnp.floor(4.0 + jnp.log2(area / 224.0) + 1e-6) - 2
         lvl = jnp.clip(lvl, 0, len(self.strides) - 1).astype(jnp.int32)
         pooled = multiscale_roi_align_batched(
             list(feats), boxes, lvl, self.strides, output_size
@@ -331,9 +365,13 @@ class MaskRCNN(nn.Module):
         def per_image(lg, dl, gb, gv):
             labels, match = assign_targets(anchors, gb, gv, 0.7, 0.3)
             obj = balanced_bce(lg.astype(jnp.float32), labels)
-            tgt = encode_deltas(anchors, gb[match])
+            tgt = encode_deltas(anchors, gb[match], weights=self.rpn_box_weights)
             pos = (labels == 1).astype(jnp.float32)
-            reg = jnp.sum(smooth_l1(dl - tgt).sum(-1) * pos) / jnp.maximum(pos.sum(), 1)
+            # torchvision rpn.compute_loss: smooth_l1 SUM over sampled
+            # positives / total sampled count (not per-positive mean)
+            _, p_pos, n_sampled = sampler_weights(
+                pos, (labels == 0).astype(jnp.float32), 256.0, 0.5)
+            reg = jnp.sum(smooth_l1(dl - tgt).sum(-1) * pos) * p_pos / n_sampled
             return obj, reg
 
         obj, reg = jax.vmap(per_image)(logits, deltas.astype(jnp.float32), gt_boxes, gt_valid)
@@ -359,12 +397,15 @@ class MaskRCNN(nn.Module):
             cls_target = jnp.where(fg, glabels[match], 0)  # bg class = 0
             logp = jax.nn.log_softmax(cl, -1)
             ce = -jnp.take_along_axis(logp, cls_target[:, None], 1)[:, 0]
-            n_fg = jnp.maximum(fg.sum(), 1.0)
-            w = fg + bg * jnp.minimum(1.0, n_fg * 3.0 / jnp.maximum(bg.sum(), 1.0))
-            cls_loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+            # torchvision fastrcnn_loss under the expectation sampler
+            # (budget 512, f=0.25, utils_det.py:45-46): CE mean over the
+            # sample; box smooth_l1 SUM over sampled fg / sampled count
+            w, p_fg, n_sampled = sampler_weights(
+                fg.astype(jnp.float32), bg.astype(jnp.float32), 512.0, 0.25)
+            cls_loss = jnp.sum(ce * w) / n_sampled
             tgt = encode_deltas(rb, gb[match])
             d = jnp.take_along_axis(bd, cls_target[:, None, None].repeat(4, -1), 1)[:, 0]
-            reg_loss = jnp.sum(smooth_l1(d - tgt).sum(-1) * fg) / n_fg
+            reg_loss = jnp.sum(smooth_l1(d - tgt).sum(-1) * fg) * p_fg / n_sampled
             return cls_loss, reg_loss, fg, match
 
         glabels = jnp.clip(targets["labels"], 0, self.num_classes)

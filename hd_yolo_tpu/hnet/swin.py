@@ -147,27 +147,41 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        """x: (B, H, W, C); H, W already padded to multiples of window_size."""
+        """x: (B, H, W, C), any spatial size.
+
+        Pad/crop lives INSIDE the block, exactly like the reference
+        (swin_transformer.py:219-263 SwinTransformerBlock.forward): the
+        post-norm1 tensor is zero-padded to window multiples, attention runs
+        over the padded grid (shifted windows masked via the padded-grid
+        slice trick), then the result is cropped back BEFORE the residual
+        add — so pad pixels are fresh zeros every block and the residual
+        stream never carries them.  Matching this is what makes the
+        ragged-size golden test vs the real reference pass bit-for-bit.
+        """
         B, H, W, C = x.shape
-        ws = min(self.window_size, H, W)
-        shift = self.shift_size if ws < min(H, W) or self.shift_size < ws else 0
-        if ws >= min(H, W):
-            shift = 0
+        ws = self.window_size
+        shift = self.shift_size
+        ph, pw = (-H) % ws, (-W) % ws
+        Hp, Wp = H + ph, W + pw
 
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(H, W, ws, shift))
+            mask = jnp.asarray(shifted_window_mask(Hp, Wp, ws, shift))
         else:
             mask = None
         windows = window_partition(x, ws).reshape(-1, ws * ws, C)
         attn = WindowAttention(C, ws, self.num_heads, attn_drop=self.attn_drop,
                                proj_drop=self.drop_rate, dtype=self.dtype,
                                name="attn")(windows, mask, train=train)
-        x = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
+        x = window_reverse(attn.reshape(-1, ws, ws, C), ws, Hp, Wp)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        if ph or pw:
+            x = x[:, :H, :W]
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, train=train)
 
@@ -189,6 +203,8 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         B, H, W, C = x.shape
+        if H % 2 or W % 2:  # zero-pad odd sizes (swin_transformer.py:341-343)
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
         x = jnp.concatenate(
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1
         )
@@ -226,12 +242,8 @@ class SwinTransformer(nn.Module):
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
         blk_id = 0
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
-            # pad to window multiple (static: shapes known at trace time)
-            B, H, W, C = x.shape
+            # window padding happens inside each block (reference semantics)
             ws = self.window_size
-            ph, pw = (-H) % ws, (-W) % ws
-            if ph or pw:
-                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
             for blk in range(depth):
                 x = SwinBlock(
                     dim, heads, ws, shift_size=0 if blk % 2 == 0 else ws // 2,
@@ -240,7 +252,6 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype, name=f"stage{stage}_block{blk}",
                 )(x, train=train)
                 blk_id += 1
-            x = x[:, :H, :W]
             if stage in self.out_indices:
                 outs.append(nn.LayerNorm(dtype=self.dtype, name=f"out_norm{stage}")(x))
             if stage < len(self.depths) - 1:

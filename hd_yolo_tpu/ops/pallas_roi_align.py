@@ -224,7 +224,7 @@ def _canvas_kernel(wy_ref, wx_ref, f_ref, out_ref,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8),
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9),
 )
 def multiscale_roi_align_canvas_pallas(
     features: Tuple[Array, ...],   # per level (B, H_l, W_l, C)
@@ -236,6 +236,7 @@ def multiscale_roi_align_canvas_pallas(
     aligned: bool = False,
     kchunk: int = 16,
     interpret: bool = False,
+    version: int = 3,
 ) -> Array:
     """Fused multiscale ROI-align → (B, K, M, M, C); numerics match the XLA
     canvas path to bf16 rounding (max_abs_err 0.0 at flagship shapes on the
@@ -247,24 +248,27 @@ def multiscale_roi_align_canvas_pallas(
     exceeds VMEM (the (kchunk·M, Ht)·(Ht, W0·C) f32 ``rows`` intermediate).
     The per-ROI x-contraction (14×80 matmuls batched over the chunk) can't
     feed the MXU, and holding the canvas resident doesn't make up for it.
-    Kept opt-in/off; the XLA canvas path remains the production kernel."""
+    Kept opt-in/off; the XLA canvas path remains the production kernel.
+
+    ``version=4`` swaps in ``_canvas_kernel_v4`` (dense block-diagonal
+    x-contraction) — see its docstring for measured numbers."""
     return _canvas_pallas_impl(
         tuple(features), boxes, levels, strides, output_size, sampling_ratio,
-        aligned, kchunk, interpret,
+        aligned, kchunk, interpret, version,
     )
 
 
 def _canvas_fwd(features, boxes, levels, strides, output_size, sampling_ratio,
-                aligned, kchunk, interpret):
+                aligned, kchunk, interpret, version):
     out = _canvas_pallas_impl(
         tuple(features), boxes, levels, strides, output_size, sampling_ratio,
-        aligned, kchunk, interpret,
+        aligned, kchunk, interpret, version,
     )
     return out, (tuple(features), boxes, levels)
 
 
 def _canvas_bwd(strides, output_size, sampling_ratio, aligned, kchunk,
-                interpret, res, g):
+                interpret, version, res, g):
     from .roi_align import _multiscale_roi_align_canvas
 
     features, boxes, levels = res
@@ -282,13 +286,61 @@ def _canvas_bwd(strides, output_size, sampling_ratio, aligned, kchunk,
 multiscale_roi_align_canvas_pallas.defvjp(_canvas_fwd, _canvas_bwd)
 
 
+def _canvas_kernel_v4(wy_ref, wx_ref, f_ref, out_ref,
+                      *, M: int, Ht: int, W0: int, C: int, kchunk: int):
+    """v4: the x-contraction as ONE dense block-diagonal matmul per chunk.
+
+    v3's failure mode was the per-ROI x-contraction: a batched
+    ``dot_general`` over the chunk's ROIs lowers in Mosaic to ``kchunk``
+    serialized (M, W0)·(W0, M·C) matmuls whose M=14 row tiles can't feed the
+    MXU.  Here the chunk's per-ROI Wx matrices are assembled in-register
+    into one (kchunk·M, kchunk·W0) block-diagonal operand and the whole
+    chunk contracts in a single dense MXU dot against the (kchunk·W0, M·C)
+    transposed rows — ``kchunk×`` redundant zeros, but the MXU runs dense
+    tiles at peak, which beats issuing tiny matmuls.  Cost: one in-VMEM
+    (k, M, W0, C) → (k, W0, M, C) relayout between the two dots.
+
+    MEASURED NEGATIVE RESULT (tools/roi_lab.py, v5e, B=16 K=100 C=256 M=14):
+    xla_canvas 4.35 ms vs v4 k4/k8/k16 = 7.80/8.06/9.80 ms — same ballpark
+    as v3, so the small per-ROI dots were NOT the bottleneck; the in-VMEM
+    relayouts (per-k transposes + block-diag assembly, ~4.6 MB of sublane
+    shuffles per grid step) dominate on this Mosaic.  Kept for the record;
+    the XLA canvas einsum remains the production kernel.
+    """
+    wdtype = f_ref.dtype
+    wy = wy_ref[0].astype(wdtype)                          # (k, M, Ht)
+    wx = wx_ref[0].astype(wdtype)                          # (k, M, W0)
+    rows = jnp.dot(
+        wy.reshape(kchunk * M, Ht), f_ref[0],
+        preferred_element_type=jnp.float32,
+    ).astype(wdtype).reshape(kchunk, M, W0, C)
+    # (k, M, W0, C) → (k·W0, M·C): per-k 3D transposes (the one relayout
+    # between the dots; the 4D transpose form is rejected by this Mosaic)
+    rows_t = jnp.concatenate(
+        [rows[r].transpose(1, 0, 2).reshape(W0, M * C) for r in range(kchunk)],
+        axis=0,
+    )
+    # block-diagonal Wx assembled by static pad+concat
+    wx_bd = jnp.concatenate(
+        [jnp.pad(wx[r], ((0, 0), (r * W0, (kchunk - 1 - r) * W0)))
+         for r in range(kchunk)],
+        axis=0,
+    )                                                      # (k·M, k·W0)
+    vals = jnp.dot(wx_bd, rows_t, preferred_element_type=jnp.float32)
+    vals = vals.reshape(kchunk, M, M, C)                   # (k, Mj, Mi, C)
+    out_ref[0] = jnp.stack(
+        [vals[r].transpose(1, 0, 2) for r in range(kchunk)], 0
+    ).astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("strides", "output_size", "sampling_ratio", "aligned",
-                     "kchunk", "interpret"),
+                     "kchunk", "interpret", "version"),
 )
 def _canvas_pallas_impl(features, boxes, levels, strides, output_size,
-                        sampling_ratio, aligned, kchunk, interpret):
+                        sampling_ratio, aligned, kchunk, interpret,
+                        version: int = 3):
     from .roi_align import _bounded_interp_matrix
 
     M, n = output_size, sampling_ratio
@@ -338,9 +390,10 @@ def _canvas_pallas_impl(features, boxes, levels, strides, output_size,
     n_chunks = Kp // kchunk
     canvas2 = canvas.reshape(B, Ht, W0 * C)  # one HBM relayout, outside the kernel
 
+    kern = _canvas_kernel_v4 if version == 4 else _canvas_kernel
     out = pl.pallas_call(
         functools.partial(
-            _canvas_kernel, M=M, Ht=Ht, W0=W0, C=C, kchunk=kchunk,
+            kern, M=M, Ht=Ht, W0=W0, C=C, kchunk=kchunk,
         ),
         grid=(B, n_chunks),
         in_specs=[

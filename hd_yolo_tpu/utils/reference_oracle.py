@@ -82,6 +82,71 @@ def _apply_torch_compat():
     load_compat._hdyolo_compat = True
     torch.load = load_compat
 
+    # Old torch let ``t.new([scalar_tensor, scalar_tensor])`` build a tensor
+    # from 0-d tensor elements; torch>=2 rejects the list (the reference's
+    # hnet/transform.py:119,124 relies on the old behavior).  Unwrap 0-d
+    # tensors to python scalars before delegating.
+    if not getattr(torch.Tensor.new, "_hdyolo_compat", False):
+        orig_new = torch.Tensor.new
+
+        def new_compat(self, *args, **kwargs):
+            if (len(args) == 1 and isinstance(args[0], (list, tuple))
+                    and any(isinstance(v, torch.Tensor) for v in args[0])):
+                args = ([v.item() if isinstance(v, torch.Tensor) else v
+                         for v in args[0]],)
+            return orig_new(self, *args, **kwargs)
+
+        new_compat._hdyolo_compat = True
+        torch.Tensor.new = new_compat
+
+    # The reference pins its model-parallel placement with unconditional
+    # ``.cuda(k)`` calls on modules (hnet/hnet.py:176-178) AND on tensors
+    # mid-forward (hnet.py:221,226); make both no-ops on a CUDA-less host so
+    # the reference runs on CPU as the oracle (its cross-GPU hops collapse
+    # to same-device copies, numerically identical).
+    if not torch.cuda.is_available():
+        if not getattr(torch.nn.Module.cuda, "_hdyolo_compat", False):
+            def cuda_compat(self, device=None):
+                return self
+
+            cuda_compat._hdyolo_compat = True
+            torch.nn.Module.cuda = cuda_compat
+        if not getattr(torch.Tensor.cuda, "_hdyolo_compat", False):
+            def tcuda_compat(self, device=None, **kwargs):
+                return self
+
+            tcuda_compat._hdyolo_compat = True
+            torch.Tensor.cuda = tcuda_compat
+
+    # Upstream bug accommodation: hnet/detection/utils_det.py uses ``tmdet``
+    # (line 220) and ``nn`` (line 240) without importing them anywhere in its
+    # wildcard-import chain (hnet/utils.py binds neither) — the module cannot
+    # import under ANY torchvision.  The reference tree is read-only, so seed
+    # the names into builtins (module-global name resolution falls back
+    # there), the minimal patch that lets the reference's own code run
+    # verbatim.  A proper ``import`` in any module always shadows these.
+    import builtins
+
+    if not hasattr(builtins, "tmdet"):
+        import torchvision.models.detection as _tmdet
+
+        builtins.tmdet = _tmdet
+    if not hasattr(builtins, "nn"):
+        builtins.nn = torch.nn
+    # ``deep_update`` (utils_det.py:81,92,95; hnet.py:161) is likewise never
+    # defined anywhere in the reference tree; its call sites imply the
+    # standard recursive in-place dict merge.
+    if not hasattr(builtins, "deep_update"):
+        def _deep_update(base, override):
+            for k, v in (override or {}).items():
+                if isinstance(v, dict) and isinstance(base.get(k), dict):
+                    _deep_update(base[k], v)
+                else:
+                    base[k] = v
+            return base
+
+        builtins.deep_update = _deep_update
+
 
 def import_reference(module: str):
     """enable_reference() + import a reference module by name."""

@@ -1,3 +1,5 @@
-from . import image_list, mask_rcnn, roi_heads, transform
+from . import (_utils, faster_rcnn, image_list, mask_rcnn, roi_heads, rpn,
+               transform)
 
-__all__ = ["image_list", "mask_rcnn", "roi_heads", "transform"]
+__all__ = ["_utils", "faster_rcnn", "image_list", "mask_rcnn", "roi_heads",
+           "rpn", "transform"]

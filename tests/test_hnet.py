@@ -198,6 +198,8 @@ def test_hnet_multiamp_roi_training(rng):
     x = jnp.asarray(img)
     variables = model.init(jax.random.PRNGKey(0), x, targets, train=True)
     assert variables.get("batch_stats"), "darknet BN stats must exist"
+    # host copy: the donated train step deletes the original device buffers
+    bn0 = jax.tree.map(lambda a: np.asarray(a).copy(), variables["batch_stats"])
 
     tx = build_optimizer(variables["params"], {"lr0": 0.005, "momentum": 0.9}, 10, 10)
     state = TrainState.create(variables, tx)
@@ -211,11 +213,14 @@ def test_hnet_multiamp_roi_training(rng):
         state, met = step(state, batch)
     last = float(met["loss"])
     assert np.isfinite(first) and np.isfinite(last)
-    assert last < first * 0.8, (first, last)
+    # 0.85: the RPN BoxCoder now uses the reference's unit weights (10x/5x
+    # smaller reg targets), which slows step-for-step descent a hair at
+    # this tiny step count (measured 19.6% drop vs the old 21%)
+    assert last < first * 0.85, (first, last)
     # BN stats actually updated (train-mode forward, VERDICT r1 weak #5)
     diff = jax.tree.map(
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).sum()),
-        variables["batch_stats"], state.batch_stats,
+        bn0, state.batch_stats,
     )
     assert sum(jax.tree.leaves(diff)) > 0
 

@@ -84,3 +84,64 @@ for kc in (4, 10, 20, 50):
     print(json.dumps({"cand": f"pallas_k{kc}", "max_abs_err": err}), flush=True)
     timed(f"pallas_k{kc}", lambda bx, kc=kc: multiscale_roi_align_canvas_pallas(
         feats, bx, levels, STRIDES, M, 2, False, kc))
+
+# v4: dense block-diagonal x-contraction (see _canvas_kernel_v4)
+for kc in (4, 8, 16, 32):
+    try:
+        got = multiscale_roi_align_canvas_pallas(
+            feats, boxes, levels, STRIDES, M, 2, False, kc, False, 4)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - ref.astype(jnp.float32))))
+    except Exception as e:
+        print(json.dumps({"cand": f"pallas_v4_k{kc}",
+                          "error": f"{type(e).__name__}: {e}"[:200]}),
+              flush=True)
+        continue
+    print(json.dumps({"cand": f"pallas_v4_k{kc}", "max_abs_err": err}),
+          flush=True)
+    timed(f"pallas_v4_k{kc}",
+          lambda bx, kc=kc: multiscale_roi_align_canvas_pallas(
+              feats, bx, levels, STRIDES, M, 2, False, kc, False, 4))
+
+# bf16-preferred einsum outputs: MXU accumulates f32 either way, so numerics
+# are identical; tests whether XLA fuses the f32->bf16 cast into the dot
+from hd_yolo_tpu.ops.roi_align import _bounded_interp_matrix
+import functools
+
+@functools.partial(jax.jit, static_argnames=())
+def canvas_bf16out(bx):
+    M_, n_ = 14, 2
+    S = M_ * n_
+    B_, H0, W0, C_ = feats[0].shape
+    stacked, metas = [], []
+    off = 0
+    for f, s in zip(feats, STRIDES):
+        h, w = f.shape[1:3]
+        stacked.append(jnp.pad(f, ((0, 0), (0, 0), (0, W0 - w), (0, 0))))
+        metas.append((off, h, w, float(s)))
+        off += h
+    canvas = jnp.concatenate(stacked, axis=1)
+    Ht = off
+    meta = jnp.asarray(metas, jnp.float32)
+    lv = jnp.clip(levels, 0, len(feats) - 1)
+    moff, mh, mw = meta[lv, 0], meta[lv, 1], meta[lv, 2]
+    scale = 1.0 / meta[lv, 3]
+    bf = bx.astype(jnp.float32)
+    x1 = bf[..., 0] * scale; y1 = bf[..., 1] * scale
+    x2 = bf[..., 2] * scale; y2 = bf[..., 3] * scale
+    roi_w = jnp.maximum(x2 - x1, 1.0); roi_h = jnp.maximum(y2 - y1, 1.0)
+    s_idx = jnp.arange(S, dtype=jnp.float32) + 0.5
+    ys = y1[..., None] + s_idx * (roi_h / S)[..., None] + moff[..., None]
+    xs = x1[..., None] + s_idx * (roi_w / S)[..., None]
+    Wy = _bounded_interp_matrix(ys, moff, moff + mh, Ht, M_, n_).astype(jnp.bfloat16)
+    Wx = _bounded_interp_matrix(xs, jnp.zeros_like(mw), mw, W0, M_, n_).astype(jnp.bfloat16)
+    rows = jnp.einsum("bksh,bhwc->bkswc", Wy, canvas,
+                      preferred_element_type=jnp.bfloat16)
+    out = jnp.einsum("bktw,bkswc->bkstc", Wx, rows,
+                     preferred_element_type=jnp.bfloat16)
+    return out
+
+got = canvas_bf16out(boxes)
+err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
+print(json.dumps({"cand": "xla_canvas_bf16out", "max_abs_err": err}), flush=True)
+timed("xla_canvas_bf16out", canvas_bf16out)
