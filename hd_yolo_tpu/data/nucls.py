@@ -330,3 +330,57 @@ def convert_to_detectron2(index_csv: str, out_file: Optional[str] = None,
         with open(out_file, "wb") as f:
             pickle.dump(records, f, protocol=pickle.HIGHEST_PROTOCOL)
     return records
+
+
+def main(argv=None):
+    """Dataset-builder CLI (reference: ``convert_nucls_dataset.py:447-458`` /
+    ``dataset_builder.py:420-431`` flag surface).
+
+    Converts a NuCLS trainval layout to the native format, then optionally
+    re-exports the train/val indices in another ecosystem's layout:
+
+        python -m hd_yolo_tpu.data.nucls --data_dir NuCLS/trainval \
+            --output_dir out [--format yolo|coco|detectron2|native] \
+            [--trainval_fold 1] [--masks_folder out/masks]
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser("hd_yolo_tpu nucls dataset builder")
+    p.add_argument("--format", choices=["native", "yolo", "coco", "detectron2"],
+                   default="native")
+    p.add_argument("--data_dir", "--data-dir", dest="data_dir", required=True,
+                   help="NuCLS trainval folder (rgb/ + csv/ + train_test_splits/)")
+    p.add_argument("--output_dir", "--output-dir", dest="output_dir",
+                   required=True)
+    p.add_argument("--trainval_fold", "--fold", dest="fold", type=int, default=1)
+    p.add_argument("--masks_folder", dest="masks_folder", default=None,
+                   help="yolo format: folder for per-image mask pickles")
+    p.add_argument("--task_id", "--task-id", dest="task_id", default="detSC",
+                   help="task name the indices carry (must match the model "
+                        "config's header name, e.g. detSC)")
+    opt = p.parse_args(argv)
+
+    paths = convert_nucls_dataset(opt.data_dir, opt.output_dir, fold=opt.fold,
+                                  task_id=opt.task_id)
+    out = {"native": paths}
+    for split in ("train", "val"):
+        if opt.format == "yolo":
+            d = os.path.join(opt.output_dir, f"yolo_{split}")
+            convert_to_yolo(paths[split], d, root=opt.output_dir,
+                            masks_dir=opt.masks_folder
+                            and os.path.join(opt.masks_folder, split))
+            out[f"yolo_{split}"] = d
+        elif opt.format == "coco":
+            j = os.path.join(opt.output_dir, f"coco_{split}.json")
+            convert_to_coco(paths[split], j, root=opt.output_dir)
+            out[f"coco_{split}"] = j
+        elif opt.format == "detectron2":
+            f = os.path.join(opt.output_dir, f"detectron2_{split}.pkl")
+            convert_to_detectron2(paths[split], f, root=opt.output_dir)
+            out[f"detectron2_{split}"] = f
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

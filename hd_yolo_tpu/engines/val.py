@@ -200,3 +200,59 @@ def run(
             "Speed: %.1f ms data, %.1f ms inference, %.1f ms metrics per image" % times
         )
     return fitness, stats, times
+
+
+def main(argv=None):
+    """Standalone validation CLI (reference: ``val_nuclei.py`` run as a
+    script, /root/reference/val_nuclei.py:230-258).
+
+        python -m hd_yolo_tpu.engines.val --data data.yaml --weights ckpt \
+            [--cfg yolov5l6-mask] [--hyp hyp-nuclei] [--masks] [--iou-type masks]
+    """
+    import argparse
+    import json
+
+    import jax.numpy as jnp
+
+    from ..config import load_dataset_info
+    from ..data.dataset import DataLoader, DetectionDataset
+    from ..models import Model
+    from .checkpoint import load_inference
+
+    p = argparse.ArgumentParser("hd_yolo_tpu val")
+    p.add_argument("--data", required=True, help="data yaml (uses its 'val' index)")
+    p.add_argument("--cfg", default="yolov5l6-mask")
+    p.add_argument("--hyp", default="hyp-nuclei")
+    p.add_argument("--weights", required=True,
+                   help="inference checkpoint (engines.checkpoint.save_inference)")
+    p.add_argument("--img-size", dest="img_size", type=int, default=640)
+    p.add_argument("--batch-size", dest="batch_size", type=int, default=8)
+    p.add_argument("--masks", action="store_true", help="compute instance masks")
+    p.add_argument("--iou-type", dest="iou_type", choices=["boxes", "masks"],
+                   default="boxes", help="match criterion for the APMeter")
+    p.add_argument("--max-targets", dest="max_targets", type=int, default=256)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--plots-dir", dest="plots_dir", default=None)
+    opt = p.parse_args(argv)
+
+    data_info = load_dataset_info(opt.data)
+    ds = DetectionDataset(data_info["val"], {"img_size": opt.img_size},
+                          train=False, max_targets=opt.max_targets)
+    dl = DataLoader(ds, opt.batch_size, workers=opt.workers, shuffle=False,
+                    drop_last=False)
+    model = Model.from_cfg(opt.cfg, opt.hyp, dtype=jnp.bfloat16)
+    variables = load_inference(opt.weights)
+    fitness, stats, times = run(
+        model, variables, ((b["image"], b["targets"]) for b in dl),
+        meta_info=data_info.get("meta_info", {}),
+        compute_masks=opt.masks or opt.iou_type == "masks",
+        iou_type=opt.iou_type, input_size=opt.img_size,
+        plots_dir=opt.plots_dir,
+    )
+    print(json.dumps({"fitness": fitness, "stats": stats,
+                      "ms_per_image": {"data": times[0], "inference": times[1],
+                                       "metrics": times[2]}}, default=float))
+
+
+if __name__ == "__main__":
+    main()

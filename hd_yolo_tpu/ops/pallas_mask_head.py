@@ -24,6 +24,16 @@ Output is (N, 4, 196) tap-major pre-bias logits; the caller adds the
 per-ROI logits bias, applies sigmoid, and de-interleaves to (N, 28, 28)
 (a few MB — XLA territory).  Inference-only (no vjp): training keeps the
 flax MaskHead so gradients flow through the standard path.
+
+MEASURED VERDICT (tools/maskhead_lab.py, v5e, N=1600 M=14 C=256, r3): the
+XLA flax chain runs 11.2 ms/batch (~73% of bf16 peak — the convs fuse and
+the intermediates tile well despite the HBM round-trips); this kernel at
+g=8 runs 18.9 ms (the in-kernel pad/reshape VPU work per 9-tap loop
+dominates), and g≥16 exceeds the default 16 MB scoped-VMEM budget — with
+the limit raised it compiles so slowly over the tunnel (>25 min for the
+timed loop) that it is unusable in practice.  The XLA path is therefore
+the default; bench.py's sacrificial A/B keeps selecting it.  Kept for the
+record and for future toolchains.
 """
 
 from __future__ import annotations
@@ -105,6 +115,9 @@ def mask_head_pallas(
         out_shape=jax.ShapeDtypeStruct((n_pad, 4, M * M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the f32 accumulators exceed the default 16 MB scoped-VMEM
+            # budget past g=8; v5e has 128 MB physical VMEM per core
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
