@@ -105,8 +105,16 @@ def make_lr_schedules(hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
 def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch: int,
                     schedule: str = "linear", accumulate: int = 1,
                     freeze: Optional[list] = None,
-                    skip_nonfinite: bool = True) -> optax.GradientTransformation:
-    """SGD(momentum, nesterov) with 3 param groups (+ frozen) and warmup schedules.
+                    skip_nonfinite: bool = True,
+                    optimizer: str = "sgd") -> optax.GradientTransformation:
+    """Optimizer with 3 param groups (+ frozen) and warmup schedules.
+
+    ``optimizer`` ∈ {sgd, adam, adamw} mirrors the reference's
+    ``--optimizer`` choice (ref train.py:612 → smart-optimizer grouping):
+    SGD(momentum, nesterov) with a warmup momentum ramp, or Adam/AdamW with
+    b1=hyp momentum.  Weight decay touches only the kernel group in every
+    case (decoupled for adamw, L2-into-grad for sgd/adam — the torch
+    semantics of each).
 
     ``skip_nonfinite`` wraps the whole chain in ``optax.apply_if_finite``:
     a step whose gradients contain inf/NaN is SKIPPED (params, momentum and
@@ -117,6 +125,8 @@ def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch:
     hyp = {**DEFAULT_HYP, **{k: v for k, v in hyp.items() if k in DEFAULT_HYP}}
     lr_main, lr_bias, momentum = make_lr_schedules(hyp, epochs, steps_per_epoch, schedule)
     labels = label_params(params, freeze)
+    optimizer = optimizer.lower()
+    assert optimizer in ("sgd", "adam", "adamw"), optimizer
 
     def sgd(lr_fn):
         return optax.inject_hyperparams(
@@ -125,17 +135,35 @@ def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch:
             )
         )(learning_rate=lr_fn, momentum=momentum)
 
-    tx = optax.multi_transform(
-        {
+    def adam(lr_fn, wd=0.0):
+        # torch Adam's weight_decay is L2-into-grad; AdamW's is decoupled
+        if optimizer == "adamw":
+            return optax.inject_hyperparams(
+                lambda learning_rate: optax.adamw(
+                    learning_rate, b1=hyp["momentum"], b2=0.999,
+                    weight_decay=wd)
+            )(learning_rate=lr_fn)
+        return optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(wd),
+                optax.adam(learning_rate, b1=hyp["momentum"], b2=0.999))
+        )(learning_rate=lr_fn)
+
+    if optimizer == "sgd":
+        group = {
             "kernel": optax.chain(
                 optax.add_decayed_weights(hyp["weight_decay"]), sgd(lr_main)
             ),
             "bn_scale": sgd(lr_main),
             "bias": sgd(lr_bias),
-            "frozen": optax.set_to_zero(),
-        },
-        labels,
-    )
+        }
+    else:
+        group = {
+            "kernel": adam(lr_main, hyp["weight_decay"]),
+            "bn_scale": adam(lr_main),
+            "bias": adam(lr_bias),
+        }
+    tx = optax.multi_transform({**group, "frozen": optax.set_to_zero()}, labels)
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     if skip_nonfinite:

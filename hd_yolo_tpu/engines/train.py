@@ -83,6 +83,16 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
     process_index, process_count = maybe_initialize_distributed()
     main_proc = is_main_process()
     save_dir = opt.save_dir
+    if (os.path.exists(save_dir) and os.listdir(save_dir) and not opt.resume
+            and not getattr(opt, "exist_ok", False)):
+        # reference increment_path semantics (general.py): exp -> exp2 -> ...
+        base, n = save_dir.rstrip("/"), 2
+        while os.path.exists(f"{base}{n}"):
+            n += 1
+        save_dir = f"{base}{n}"
+        if main_proc:
+            LOGGER.info(f"save dir exists; using {save_dir} (pass --exist-ok "
+                        f"to reuse)")
     if main_proc:
         os.makedirs(save_dir, exist_ok=True)
     data_info = load_dataset_info(opt.data)
@@ -262,6 +272,7 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
         schedule="cosine" if opt.cos_lr else "linear",
         accumulate=max(round(opt.nominal_batch_size / opt.batch_size), 1),
         freeze=opt.freeze or None,
+        optimizer=getattr(opt, "optimizer", "sgd"),
     )
     state = TrainState.create(variables, tx)
     start_epoch, best_fitness = 0, 0.0
@@ -529,6 +540,11 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask-rois", dest="mask_rois", type=int, default=64)
     p.add_argument("--max-masks", dest="max_masks", type=int, default=100)
     p.add_argument("--save-dir", dest="save_dir", default="runs/train/exp")
+    p.add_argument("--exist-ok", dest="exist_ok", action="store_true",
+                   help="reuse --save-dir as-is instead of incrementing "
+                        "exp -> exp2 when it already has contents")
+    p.add_argument("--optimizer", choices=["sgd", "adam", "adamw"],
+                   default="sgd", help="reference --optimizer choice")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--autoanchor", action="store_true",
                    help="report anchor BPR fit on the val set before training")

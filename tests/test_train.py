@@ -366,3 +366,29 @@ def test_resident_data_step_matches_streaming():
                                    err_msg=k)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), st1.params, st2.params)
     assert max(jax.tree.leaves(d)) < 1e-6
+
+
+def test_optimizer_choices_update_params():
+    """--optimizer adam/adamw produce finite, nonzero, distinct updates
+    (reference train.py:612 choice surface)."""
+    params = {
+        "blocks_0": {"conv": {"kernel": jnp.ones((1, 1, 3, 4))}},
+        "header_det": {"det0": {"kernel": jnp.ones((1, 1, 4, 8)),
+                                "bias": jnp.zeros(8)}},
+    }
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+    outs = {}
+    for name in ("sgd", "adam", "adamw"):
+        tx = build_optimizer(params, {"lr0": 0.01, "warmup_epochs": 0.0,
+                                      "weight_decay": 0.05}, 1, 1,
+                             optimizer=name)
+        state = tx.init(params)
+        updates, state = tx.update(grads, state, params)
+        updates, _ = tx.update(grads, state, params)
+        k = updates["header_det"]["det0"]["kernel"]
+        assert jnp.all(jnp.isfinite(k)), name
+        assert float(jnp.abs(k).sum()) > 0.0, name
+        outs[name] = np.asarray(updates["blocks_0"]["conv"]["kernel"])
+    assert not np.allclose(outs["sgd"], outs["adam"])
+    # adamw decay is decoupled; adam's is L2-into-grad -> different updates
+    assert not np.allclose(outs["adam"], outs["adamw"])
