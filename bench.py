@@ -24,14 +24,18 @@ import numpy as np
 
 
 def main():
-    if (os.environ.get("HDYOLO_PALLAS_MASKHEAD") is None
+    if (os.environ.get("HDYOLO_BENCH_AB") == "1"
+            and os.environ.get("HDYOLO_PALLAS_MASKHEAD") is None
             and os.environ.get("BENCH_SUB") != "1"):
-        # A/B the opt-in fused Pallas mask head (ops/pallas_mask_head.py)
-        # against the stock XLA path, each in a SACRIFICIAL subprocess (a
-        # Mosaic rejection on this libtpu must not cost the headline
-        # number), serially so they never contend for the chip; report the
-        # faster.  (The Pallas stem is NOT tried: it cannot compile on this
-        # hardware — measured findings in ops/pallas_stem.py.)
+        # Opt-in (HDYOLO_BENCH_AB=1): A/B the fused Pallas mask head
+        # (ops/pallas_mask_head.py) against the stock XLA path, each in a
+        # SACRIFICIAL subprocess (a Mosaic rejection on this libtpu must
+        # not cost the headline number), serially so they never contend
+        # for the chip; report the faster.  Off by default since the r3
+        # measured verdict (tools/maskhead_lab.py): XLA wins decisively
+        # (11.2 vs 18.9 ms at N=1600) and the losing sub costs 10+ min of
+        # tunnel compile per bench run.  (The Pallas stem is NOT tried: it
+        # cannot compile on this hardware — see ops/pallas_stem.py.)
         import subprocess
 
         def run_sub(maskhead: str):

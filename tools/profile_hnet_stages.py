@@ -7,6 +7,10 @@ Times (in-jit scan, single fetch — tunnel-safe):
   * full hnet-nucls forward (all headers)
 and per-Swin-stage deltas (stage0..3) to localize window-attention cost.
 
+MEASURED (v5e, r3, batch 4 @ 640px): swin_backbone_bf16 12.7 ms (315
+tiles/s) · swin_backbone_f32 17.7 ms · hnet_full_bf16 38.1 ms — the
+headers are 2/3 of the full forward; tools/hnet_header_lab.py drills in.
+
     python tools/profile_hnet_stages.py [--batch 4] [--img 640] [--iters 10]
 """
 
@@ -53,7 +57,6 @@ def main():
 
     from hd_yolo_tpu.config import load_cfg
     from hd_yolo_tpu.hnet import HNet
-    from hd_yolo_tpu.hnet.fpn import FPN
     from hd_yolo_tpu.hnet.swin import SwinTransformer
 
     B, S = args.batch, args.img
