@@ -29,6 +29,10 @@ Array = jnp.ndarray
 DEFAULT_HYP = {
     "lr0": 0.01, "lrf": 0.1, "momentum": 0.937, "weight_decay": 0.0005,
     "warmup_epochs": 3.0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1,
+    # global grad-norm clip; 0 disables (the flagship recipe never needed
+    # it, but multi-loss hnet training can explode through finite grads —
+    # measured in tools/hnet_train_check.py)
+    "clip_grad_norm": 0.0,
 }
 
 
@@ -164,6 +168,9 @@ def build_optimizer(params, hyp: Dict[str, float], epochs: int, steps_per_epoch:
             "bias": adam(lr_bias),
         }
     tx = optax.multi_transform({**group, "frozen": optax.set_to_zero()}, labels)
+    if hyp.get("clip_grad_norm", 0.0) > 0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(float(hyp["clip_grad_norm"])), tx)
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     if skip_nonfinite:

@@ -215,9 +215,11 @@ class HNet(nn.Module):
         out = []
         for f in feats:
             B, H, W, C = f.shape
-            out.append(
-                jax.image.resize(f, (B, int(H * amp), int(W * amp), C), "bilinear")
-            )
+            # clamp to one cell: small inputs at low amplification would
+            # otherwise produce zero-size maps (empty mean → NaN losses)
+            out.append(jax.image.resize(
+                f, (B, max(int(H * amp), 1), max(int(W * amp), 1), C),
+                "bilinear"))
         return out
 
     # -------------------------------------------------- per-ROI feature plane

@@ -603,3 +603,37 @@ def test_hnet_tilegrid_keypoints_projected_to_image_frame(rng):
     assert (k[..., 1] <= b[:, None, 3] + 1e-2).all()
     # and boxes genuinely span multiple tiles (shift actually exercised)
     assert (b[:, :2] > 64.0).any(), "all detections on the origin tile"
+
+
+def test_extract_amplified_small_maps_stay_nonempty():
+    """Low-amplification headers on small inputs must not produce zero-size
+    feature maps (empty global mean -> NaN cl_loss); regression for the
+    r3 hnet_train_check finding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hd_yolo_tpu.config import load_cfg
+    from hd_yolo_tpu.hnet import HNet
+
+    model = HNet.from_cfg(load_cfg("hnet-nucls"), dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 128, 128, 3)).astype(np.float32))
+    t = {
+        "det40x": {"boxes": jnp.asarray([[[0.2, 0.2, 0.4, 0.4]]]),
+                   "labels": jnp.asarray([[1]]),
+                   "valid": jnp.asarray([[True]]),
+                   "masks": jnp.ones((1, 1, 28, 28), jnp.float32)},
+        "seg10x": {"seg_map": jnp.zeros((1, 8, 8), jnp.int32)},
+        "cl5x": {"label": jnp.asarray([1])},
+    }
+    k0 = jax.random.PRNGKey(0)
+    v = jax.jit(lambda k, xx, tt: model.init(
+        {"params": k, "dropout": jax.random.fold_in(k, 1)}, xx, tt, train=True
+    ))(k0, x, t)
+    (losses, _), _ = model.apply(v, x, t, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(7)},
+                                 mutable=["batch_stats"])
+    for task, d in losses.items():
+        for k2, val in d.items():
+            assert np.isfinite(float(jnp.asarray(val))), (task, k2)
