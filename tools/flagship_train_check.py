@@ -30,15 +30,20 @@ CLASS_COLORS = {  # class → mean BGR-ish stain color
 CLASS_AXES = {1: (22, 18), 2: (26, 10), 3: (10, 9), 4: (16, 14)}
 
 
-def render_tile(rng, img_size: int, nuclei_per_tile: int):
-    """One synthetic H&E tile: (img uint8 RGB, boxes, labels, polys)."""
+def render_tile(rng, img_size: int, nuclei_per_tile: int, class_probs=None):
+    """One synthetic H&E tile: (img uint8 RGB, boxes, labels, polys).
+
+    ``class_probs`` optionally biases the per-nucleus class draw (length-4,
+    classes 1..4) — used by the hnet check to make its tile-level label
+    learnable; None keeps the historical uniform draw."""
     import cv2
 
     img = np.full((img_size, img_size, 3), 230, np.uint8)
     img += rng.integers(-12, 12, img.shape).astype(np.uint8)
     boxes, labels, polys = [], [], []
     for _ in range(nuclei_per_tile):
-        c = int(rng.integers(1, 5))
+        c = (int(rng.choice(4, p=class_probs)) + 1 if class_probs is not None
+             else int(rng.integers(1, 5)))
         ax, ay = CLASS_AXES[c]
         ax = max(int(ax * rng.uniform(0.8, 1.25)), 4)
         ay = max(int(ay * rng.uniform(0.8, 1.25)), 4)

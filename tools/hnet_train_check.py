@@ -47,7 +47,13 @@ def build_split(seed: int, n_images: int, img_size: int, nuclei: int):
     seg = np.zeros((n_images, img_size // 16, img_size // 16), np.int32)
     cl = np.zeros((n_images,), np.int32)
     for i in range(n_images):
-        img, bxs, lbs, polys = render_tile(rng, img_size, nuclei)
+        # per-tile dominant class (60% of draws) so the cl5x tile label is
+        # learnable rather than the argmax of a uniform draw
+        dom = int(rng.integers(0, 4))
+        probs = np.full(4, 0.4 / 3)
+        probs[dom] = 0.6
+        img, bxs, lbs, polys = render_tile(rng, img_size, nuclei,
+                                           class_probs=probs)
         imgs[i] = img
         tissue = np.zeros((img_size, img_size), np.uint8)
         for j, (b, l, p) in enumerate(zip(bxs, lbs, polys)):
