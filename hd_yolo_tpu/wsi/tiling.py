@@ -103,6 +103,7 @@ def slide_inference(
     max_total: int = 4096,
     class_aware_nms: bool = True,
     preprocess: Optional[Callable[[Array], Array]] = None,
+    mask_uint8: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Run tiled inference over a slide and stitch detections globally.
 
@@ -112,6 +113,10 @@ def slide_inference(
         (a single task's outputs from ``Model.apply``; pick the task upstream).
       slide: (H, W, C) float array (device or host).
       max_total: capacity of the stitched detection set entering global NMS.
+      mask_uint8: fetch mask probabilities quantized to uint8 (p*255).  The
+        product path thresholds masks at 0.5 (paste semantics,
+        ``yolo_head.py:450-471``), so 1/255 steps are lossless for it, and the
+        host transfer shrinks 4x — decisive on remote-attached chips.
 
     Returns dict of host arrays: boxes (slide coords), scores, labels, valid
     (+ masks/mask_valid when the forward provides them).
@@ -156,32 +161,46 @@ def slide_inference(
     }
     flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in merged.items()}
 
-    sel, out_idx, keep = _global_stitch_nms(
-        flat["boxes"], flat["scores"],
-        flat["labels"] if class_aware_nms else jnp.zeros_like(flat["labels"]),
-        flat["valid"], iou_thres, max_total,
+    labels_for_nms = (
+        flat["labels"] if class_aware_nms else jnp.zeros_like(flat["labels"])
     )
-    sel_np = jax.tree.map(np.asarray, (sel, out_idx, keep))
-    (score_sel,), idx, keep = (sel_np[0],), sel_np[1], sel_np[2]
-    flat_np = jax.tree.map(np.asarray, flat)
-    gathered = {k: v[np.asarray(score_sel)][idx] for k, v in flat_np.items()}
-    gathered["valid"] = keep & gathered["valid"]
-    if "mask_valid" in gathered:
-        gathered["mask_valid"] = gathered["mask_valid"] & gathered["valid"]
-    return gathered
+    gathered = _global_stitch_nms(
+        flat, labels_for_nms, iou_thres, max_total, mask_uint8
+    )
+    # One fetch of the final (max_total, ...) rows only.  Fetching the full
+    # padded per-tile set first (the pre-round-3 flow) moved ~4x the bytes
+    # host-side for the same result — on a remote-attached chip that transfer
+    # dominated the whole pipeline.
+    return jax.tree.map(np.asarray, gathered)
 
 
-@functools.partial(jax.jit, static_argnames=("max_total",))
-def _global_stitch_nms(boxes, scores, labels, valid, iou_thres, max_total):
-    """Device-side top-K + class-aware NMS over the stitched detection set."""
+@functools.partial(jax.jit, static_argnames=("max_total", "mask_uint8"))
+def _global_stitch_nms(flat, labels_for_nms, iou_thres, max_total,
+                       mask_uint8=False):
+    """Device-side top-K + class-aware NMS + row gather over the stitched set.
+
+    Returns the output dict gathered to ``max_total`` rows in keep order, so
+    the caller fetches only the final result (never the full padded tile set).
+    """
+    boxes, scores, valid = flat["boxes"], flat["scores"], flat["valid"]
     masked = jnp.where(valid, scores, -jnp.inf)
     k = min(max_total, boxes.shape[0])
     _, sel = jax.lax.top_k(masked, k)
-    b = jnp.take(boxes, sel, axis=0)
-    s = jnp.take(masked, sel)
-    l = jnp.take(labels, sel)
-    v = jnp.take(valid, sel)
     idx, keep = batched_nms_padded(
-        b, s, jnp.where(l < 0, 0, l), v, iou_thres, max_det=k
+        jnp.take(boxes, sel, axis=0),
+        jnp.take(masked, sel),
+        jnp.maximum(jnp.take(labels_for_nms, sel), 0),
+        jnp.take(valid, sel),
+        iou_thres,
+        max_det=k,
     )
-    return sel, idx, keep
+    rows = jnp.take(sel, idx)
+    gathered = {k_: jnp.take(v, rows, axis=0) for k_, v in flat.items()}
+    gathered["valid"] = keep & gathered["valid"]
+    if "mask_valid" in gathered:
+        gathered["mask_valid"] = gathered["mask_valid"] & gathered["valid"]
+    if mask_uint8 and "masks" in gathered:
+        gathered["masks"] = jnp.round(
+            jnp.clip(gathered["masks"], 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
+    return gathered

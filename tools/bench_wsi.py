@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Flagship metayolo WSI pipeline benchmark on the real chip: on-device tile
+extraction + masked 640px inference + stitched global NMS over a synthetic
+slide (reference flow anchor: yolo_head.py:450-471 merge + evaluation.py
+tiled scoring).
+
+Round-1 recorded 187 tiles/s (4096² in 0.34 s, det-only output); this
+re-measures with the round-2/3 improvements (merged-CSP trunk, batch-16,
+uint8 transfer) and the mask branch on.
+
+    python -u tools/bench_wsi.py [--slide 4096] [--batch 16] [--masks]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slide", type=int, default=4096)
+    ap.add_argument("--tile", type=int, default=640)
+    ap.add_argument("--overlap", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--no-masks", dest="masks", action="store_false")
+    ap.add_argument("--mask-uint8", action="store_true",
+                    help="fetch masks quantized to uint8 (4x less transfer; "
+                         "lossless for the 0.5-threshold product path)")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hd_yolo_tpu.models import Model
+    from hd_yolo_tpu.models.builder import parse_model_cfg
+    from hd_yolo_tpu.wsi import slide_inference, sliding_window_grid
+
+    spec = parse_model_cfg("yolov5l6-mask", "hyp-nuclei")
+    model = Model(spec=spec, dtype=jnp.bfloat16, max_masks=100,
+                  pre_nms_topk=1024)
+    x0 = jnp.zeros((args.batch, args.tile, args.tile, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(
+        k, x0, train=False, compute_masks=args.masks))(jax.random.PRNGKey(0))
+    jax.block_until_ready(jax.tree.leaves(variables)[0])
+
+    task = spec.headers[0].tag  # flagship: detSC
+    fwd = jax.jit(lambda v, x: model.apply(
+        v, x, train=False, compute_masks=args.masks)[1][task])
+    forward = lambda tiles: fwd(variables, tiles)
+
+    rng = np.random.default_rng(0)
+    slide = rng.uniform(0, 1, (args.slide, args.slide, 3)).astype(np.float32)
+    slide_j = jnp.asarray(slide)  # device-resident: exclude the tunnel H2D
+
+    n_tiles = len(sliding_window_grid(args.slide, args.slide,
+                                      args.tile, args.overlap))
+    kw = dict(tile=args.tile, overlap=args.overlap, batch=args.batch,
+              mask_uint8=args.mask_uint8)
+    out = slide_inference(forward, slide_j, **kw)  # compile
+    best = np.inf
+    for _ in range(args.reps):
+        t0 = time.time()
+        out = slide_inference(forward, slide_j, **kw)
+        best = min(best, time.time() - t0)
+    n_det = int(np.sum(out["valid"]))
+    res = {
+        "wsi_tiles_per_s": round(n_tiles / best, 1),
+        "wsi_mpix_per_s": round(args.slide ** 2 / best / 1e6, 1),
+        "wsi_s_per_slide": round(best, 3),
+        "slide_px": args.slide,
+        "n_tiles": n_tiles,
+        "n_det": n_det,
+        "masks": bool(args.masks),
+        "mask_uint8": bool(args.mask_uint8),
+        "batch": args.batch,
+    }
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
