@@ -131,6 +131,17 @@ def parse_model_cfg(cfg, hyp) -> NetworkSpec:
             tag = tag or "det"
             task_hyp = hyp.get(tag, hyp)
             loss_hyp = {k: task_hyp[k] for k in LOSS_KEYS if k in task_hyp}
+            # class-weight vectors (WeightReduceLoss, loss.py:24-48) must be
+            # nc-sized for THIS header; a hyp written for another task's class
+            # count would broadcast-crash deep inside det_loss — fall back to
+            # uniform weights with a warning instead.
+            cw = loss_hyp.get("cls_cw")
+            if isinstance(cw, (list, tuple)) and len(cw) != nc:
+                LOGGER.warning(
+                    "hyp[%s]['cls_cw'] has %d entries but header nc=%d; "
+                    "using uniform class weights", tag, len(cw), nc,
+                )
+                loss_hyp["cls_cw"] = 1.0
             nms_params = {k: float(task_hyp[k]) for k in NMS_KEYS if k in task_hyp}
             multi_label = bool(task_hyp.get("multi_label", False))
             default_input_size = 640

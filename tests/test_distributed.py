@@ -55,6 +55,13 @@ _WORKER = textwrap.dedent("""
     from hd_yolo_tpu.engines.train_step import TrainState, make_train_step
     from hd_yolo_tpu.models import Model
 
+    # Establish the Gloo collective context while the processes are still in
+    # lockstep: its KV rendezvous has a hardcoded 30 s deadline, and on a
+    # loaded single-core host the big model compile below can skew the two
+    # processes past it (observed DEADLINE_EXCEEDED under full-suite load).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("pre-compile")
+
     model = Model.from_cfg("yolov5s-test", "hyp-nuclei", mask_rois=4,
                            max_masks=8, pre_nms_topk=64)
     mesh = create_mesh(shape=(4, 1))
