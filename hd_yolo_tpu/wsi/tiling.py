@@ -104,6 +104,8 @@ def slide_inference(
     class_aware_nms: bool = True,
     preprocess: Optional[Callable[[Array], Array]] = None,
     mask_uint8: bool = False,
+    fused: bool = False,
+    forward_vars=None,
 ) -> Dict[str, np.ndarray]:
     """Run tiled inference over a slide and stitch detections globally.
 
@@ -111,12 +113,21 @@ def slide_inference(
       forward: jitted fn (B, tile, tile, C) → per-image output dict with
         'boxes' (B, D, 4), 'scores' (B, D), 'labels' (B, D), 'valid' (B, D)
         (a single task's outputs from ``Model.apply``; pick the task upstream).
+        With ``forward_vars`` set, the signature is ``forward(vars, tiles)``.
       slide: (H, W, C) float array (device or host).
       max_total: capacity of the stitched detection set entering global NMS.
       mask_uint8: fetch mask probabilities quantized to uint8 (p*255).  The
         product path thresholds masks at 0.5 (paste semantics,
         ``yolo_head.py:450-471``), so 1/255 steps are lossless for it, and the
         host transfer shrinks 4x — decisive on remote-attached chips.
+      fused: run the WHOLE pipeline (tile extraction → forward scan →
+        stitching NMS → row gather) as ONE jitted program with one dispatch
+        and one host fetch.  Amortizes per-batch dispatch overhead and lets
+        XLA overlap tile DMA with compute.  Pass model params via
+        ``forward_vars`` in this mode — params captured by closure would be
+        baked into the compile payload.
+      forward_vars: optional pytree passed as ``forward``'s first argument
+        through the jit boundary (required for fused mode with real models).
 
     Returns dict of host arrays: boxes (slide coords), scores, labels, valid
     (+ masks/mask_valid when the forward provides them).
@@ -128,6 +139,17 @@ def slide_inference(
     origins_p = np.concatenate([origins, np.tile(origins[-1:], (pad, 1))]) if pad else origins
     slide = jnp.asarray(slide)
 
+    if fused:
+        runner = _fused_runner(
+            forward, preprocess, tile, n, float(iou_thres), max_total,
+            class_aware_nms, mask_uint8, forward_vars is None,
+        )
+        origins_b = jnp.asarray(origins_p.reshape(-1, batch, 2))
+        gathered = runner(slide, origins_b, forward_vars)
+        return jax.tree.map(np.asarray, gathered)
+
+    call = (lambda t: forward(forward_vars, t)) if forward_vars is not None else forward
+
     # stream tile batches; everything stays on device until the final fetch
     chunks = []
     for i in range(0, len(origins_p), batch):
@@ -135,26 +157,7 @@ def slide_inference(
         tiles = extract_tiles(slide, ob, tile)
         if preprocess is not None:
             tiles = preprocess(tiles)
-        out = forward(tiles)
-        # shift boxes into slide coordinates (merge_outputs semantics)
-        shift = ob[:, None, jnp.asarray([1, 0, 1, 0])].astype(out["boxes"].dtype)
-        chunk = dict(out)
-        chunk["boxes"] = out["boxes"] + shift
-        # keys with a smaller per-image capacity than the detection axis
-        # (masks: max_masks < max_det) are zero-padded to max_det so the
-        # flattened global indices address every key identically.  A
-        # detection gathered from a slot past the mask capacity therefore
-        # carries an all-zero mask — mask_valid records exactly that
-        # (padded slots are False), so consumers can tell "no mask
-        # computed" from "empty mask" (VERDICT r2 weak #4).
-        D = chunk["boxes"].shape[1]
-        if "masks" in chunk and "mask_valid" not in chunk:
-            chunk["mask_valid"] = out["valid"][:, : chunk["masks"].shape[1]]
-        for k, v in chunk.items():
-            if v.shape[1] != D:
-                pad_width = [(0, 0), (0, D - v.shape[1])] + [(0, 0)] * (v.ndim - 2)
-                chunk[k] = jnp.pad(v, pad_width)
-        chunks.append(chunk)
+        chunks.append(_shift_and_pad(call(tiles), ob))
 
     merged = {
         k: jnp.concatenate([c[k] for c in chunks])[:n] for k in chunks[0]
@@ -172,6 +175,69 @@ def slide_inference(
     # host-side for the same result — on a remote-attached chip that transfer
     # dominated the whole pipeline.
     return jax.tree.map(np.asarray, gathered)
+
+
+def _shift_and_pad(out: Dict[str, Array], ob: Array) -> Dict[str, Array]:
+    """Shift per-tile boxes into slide coords; pad capacity-short keys.
+
+    Keys with a smaller per-image capacity than the detection axis (masks:
+    max_masks < max_det) are zero-padded to max_det so the flattened global
+    indices address every key identically.  A detection gathered from a slot
+    past the mask capacity therefore carries an all-zero mask — mask_valid
+    records exactly that (padded slots are False), so consumers can tell
+    "no mask computed" from "empty mask" (VERDICT r2 weak #4).
+    """
+    # shift boxes into slide coordinates (merge_outputs semantics)
+    shift = ob[:, None, jnp.asarray([1, 0, 1, 0])].astype(out["boxes"].dtype)
+    chunk = dict(out)
+    chunk["boxes"] = out["boxes"] + shift
+    D = chunk["boxes"].shape[1]
+    if "masks" in chunk and "mask_valid" not in chunk:
+        chunk["mask_valid"] = out["valid"][:, : chunk["masks"].shape[1]]
+    for k, v in chunk.items():
+        if v.shape[1] != D:
+            pad_width = [(0, 0), (0, D - v.shape[1])] + [(0, 0)] * (v.ndim - 2)
+            chunk[k] = jnp.pad(v, pad_width)
+    return chunk
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_runner(forward, preprocess, tile, n, iou_thres, max_total,
+                  class_aware_nms, mask_uint8, no_vars):
+    """Build (and cache) the one-dispatch fused slide-inference program."""
+
+    @jax.jit
+    def run(slide, origins_b, fvars):
+        def body(carry, ob):
+            tiles = jax.lax.map(
+                lambda o: jax.lax.dynamic_slice(
+                    slide, (o[0], o[1], 0), (tile, tile, slide.shape[-1])
+                ),
+                ob,
+            )
+            if preprocess is not None:
+                tiles = preprocess(tiles)
+            out = forward(tiles) if no_vars else forward(fvars, tiles)
+            return carry, _shift_and_pad(out, ob)
+
+        _, chunks = jax.lax.scan(body, None, origins_b)
+        # chunks: (nb, batch, D, ...) → flatten; rows from the grid-pad
+        # duplicate origins (index ≥ n) are invalidated, not truncated.
+        nb, b, D = chunks["boxes"].shape[:3]
+        tile_ok = (jnp.arange(nb * b) < n).reshape(nb, b, 1)
+        chunks["valid"] = chunks["valid"] & tile_ok
+        flat = {
+            k: v.reshape((-1,) + v.shape[3:]) for k, v in chunks.items()
+        }
+        labels_for_nms = (
+            flat["labels"] if class_aware_nms
+            else jnp.zeros_like(flat["labels"])
+        )
+        return _global_stitch_nms(
+            flat, labels_for_nms, iou_thres, max_total, mask_uint8
+        )
+
+    return run
 
 
 @functools.partial(jax.jit, static_argnames=("max_total", "mask_uint8"))

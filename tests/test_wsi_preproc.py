@@ -247,3 +247,44 @@ def test_slide_inference_derives_mask_valid():
     assert v.sum() == D
     assert "mask_valid" in out
     assert out["mask_valid"][v].sum() == R
+
+
+def test_slide_inference_fused_matches_streaming(rng):
+    """fused=True (one-dispatch scan program) must reproduce the streaming
+    path exactly: same kept set, boxes, scores, masks — incl. capacity
+    padding, grid-pad duplicate tiles and mask_valid semantics."""
+    D, M = 6, 3
+
+    def forward(fvars, tiles):
+        B = tiles.shape[0]
+        mean = tiles.mean(axis=(1, 2, 3))
+        boxes = jnp.zeros((B, D, 4))
+        boxes = boxes.at[:, 0].set(jnp.asarray([5.0, 7.0, 60.0, 50.0]))
+        boxes = boxes.at[:, 1].set(jnp.asarray([70.0, 70.0, 110.0, 100.0]))
+        scores = jnp.zeros((B, D))
+        scores = scores.at[:, 0].set(0.6 + 0.3 * mean + fvars["bias"])
+        scores = scores.at[:, 1].set(0.5 + 0.2 * mean)
+        labels = jnp.tile(jnp.arange(D) % 2, (B, 1)).astype(jnp.int32)
+        valid = jnp.zeros((B, D), bool).at[:, :2].set(True)
+        masks = mean[:, None, None, None] * jnp.ones((B, M, 8, 8))
+        return {"boxes": boxes, "scores": scores, "labels": labels,
+                "valid": valid, "masks": masks}
+
+    fvars = {"bias": jnp.float32(0.05)}
+    slide = jnp.asarray(rng.uniform(0, 1, (300, 430, 3)).astype(np.float32))
+    kw = dict(tile=128, overlap=28, batch=4, max_total=64)  # 12 tiles → pad 4
+    a = slide_inference(forward, slide, forward_vars=fvars, **kw)
+    b = slide_inference(forward, slide, forward_vars=fvars, fused=True, **kw)
+    assert set(a) == set(b)
+    assert np.array_equal(a["valid"], b["valid"])
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+    assert a["valid"].sum() > 0
+    # uint8 quantization in fused mode
+    q = slide_inference(forward, slide, forward_vars=fvars, fused=True,
+                        mask_uint8=True, **kw)
+    assert q["masks"].dtype == np.uint8
+    np.testing.assert_allclose(
+        q["masks"].astype(np.float32),
+        np.round(np.clip(b["masks"], 0, 1) * 255), atol=1,
+    )

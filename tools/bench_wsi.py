@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--mask-uint8", action="store_true",
                     help="fetch masks quantized to uint8 (4x less transfer; "
                          "lossless for the 0.5-threshold product path)")
+    ap.add_argument("--fused", action="store_true",
+                    help="one-dispatch fused pipeline (extract+forward+stitch "
+                         "in a single jit, one host fetch)")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -52,7 +55,10 @@ def main():
     task = spec.headers[0].tag  # flagship: detSC
     fwd = jax.jit(lambda v, x: model.apply(
         v, x, train=False, compute_masks=args.masks)[1][task])
-    forward = lambda tiles: fwd(variables, tiles)
+    if args.fused:
+        forward = fwd                 # params threaded via forward_vars
+    else:
+        forward = lambda tiles: fwd(variables, tiles)
 
     rng = np.random.default_rng(0)
     slide = rng.uniform(0, 1, (args.slide, args.slide, 3)).astype(np.float32)
@@ -61,7 +67,8 @@ def main():
     n_tiles = len(sliding_window_grid(args.slide, args.slide,
                                       args.tile, args.overlap))
     kw = dict(tile=args.tile, overlap=args.overlap, batch=args.batch,
-              mask_uint8=args.mask_uint8)
+              mask_uint8=args.mask_uint8, fused=args.fused,
+              forward_vars=variables if args.fused else None)
     out = slide_inference(forward, slide_j, **kw)  # compile
     best = np.inf
     for _ in range(args.reps):
@@ -78,6 +85,7 @@ def main():
         "n_det": n_det,
         "masks": bool(args.masks),
         "mask_uint8": bool(args.mask_uint8),
+        "fused": bool(args.fused),
         "batch": args.batch,
     }
     print(json.dumps(res), flush=True)
