@@ -100,6 +100,7 @@ class Detector:
             lambda v, x, cm: self.model.apply(v, x, train=False, compute_masks=cm),
             static_argnames=("cm",),
         )
+        self._task_fwd: Dict[Any, Any] = {}
 
     @staticmethod
     def _to_numpy(im) -> np.ndarray:
@@ -160,3 +161,62 @@ class Detector:
                 rec[t] = entry
             records.append(rec)
         return Detections(records, arrs, self.labels_text)
+
+    def slide(
+        self,
+        image: Any,
+        task: Optional[str] = None,
+        tile: Optional[int] = None,
+        overlap: int = 64,
+        batch: int = 8,
+        compute_masks: bool = True,
+        fused: bool = True,
+        mask_uint8: bool = False,
+        iou_thres: float = 0.45,
+        max_total: int = 4096,
+    ) -> Detections:
+        """Tiled whole-slide inference with stitched global NMS.
+
+        The product form of the reference's tile → ``merge_outputs`` →
+        ``rescale_outputs`` flow (``yolo_head.py:450-471``): the slide goes to
+        device once (uint8 stays uint8 — the model normalizes at entry), tiles
+        are extracted on device, and detections come back in slide coords.
+        ``fused=True`` runs extraction+forward+stitching as one jitted program.
+
+        Returns a one-record :class:`Detections` (record key = ``task``).
+        """
+        from .wsi.tiling import slide_inference
+
+        arr = self._to_numpy(image)
+        tile = tile or self.input_size
+        task = task or self.model.spec.headers[0].tag
+        h, w = arr.shape[:2]
+        if h < tile or w < tile:  # small slides: pad to one full tile
+            arr = np.pad(arr, ((0, max(0, tile - h)), (0, max(0, tile - w)), (0, 0)))
+
+        key = (task, compute_masks)
+        if key not in self._task_fwd:
+            self._task_fwd[key] = jax.jit(
+                lambda v, t: self.model.apply(
+                    v, t, train=False, compute_masks=compute_masks
+                )[1][task]
+            )
+        out = slide_inference(
+            self._task_fwd[key], jnp.asarray(arr),
+            tile=tile, overlap=overlap, batch=batch, iou_thres=iou_thres,
+            max_total=max_total, mask_uint8=mask_uint8,
+            fused=fused, forward_vars=self.variables,
+        )
+        v = out["valid"]
+        # drop detections that only exist inside the small-slide pad
+        inb = (out["boxes"][:, 0] < w) & (out["boxes"][:, 1] < h)
+        v = v & inb
+        entry: Dict[str, np.ndarray] = {
+            "boxes": np.minimum(out["boxes"][v], [w, h, w, h]),
+            "scores": out["scores"][v],
+            "labels": out["labels"][v],
+        }
+        if "masks" in out:
+            entry["masks"] = out["masks"][v]
+            entry["has_mask"] = out["mask_valid"][v]
+        return Detections([{task: entry}], [arr[:h, :w]], self.labels_text)

@@ -97,6 +97,31 @@ def test_detector_any_input(tmp_path, detector, rng):
 
 
 @pytest.mark.slow
+def test_detector_slide(detector, rng):
+    """Detector.slide: stitched whole-slide records in slide coords; fused
+    and streaming paths agree; small slides pad up to one tile."""
+    slide = rng.integers(0, 255, (300, 300, 3), dtype=np.uint8)
+    res = detector.slide(slide, tile=128, overlap=28, batch=2, max_total=64)
+    assert len(res) == 1
+    rec = res[0]
+    task = next(iter(rec))
+    o = rec[task]
+    assert o["boxes"].shape[1] == 4
+    assert (o["boxes"][:, [0, 1]] <= 300).all() if len(o["boxes"]) else True
+    stream = detector.slide(slide, tile=128, overlap=28, batch=2,
+                            max_total=64, fused=False)
+    s = stream[0][task]
+    assert np.array_equal(np.asarray(o["labels"]), np.asarray(s["labels"]))
+    np.testing.assert_allclose(o["boxes"], s["boxes"], atol=1e-4)
+    # smaller than one tile: pads, still returns a record
+    tiny = detector.slide(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8),
+                          tile=128, batch=1, max_total=16)
+    t = tiny[0][task]
+    if len(t["boxes"]):
+        assert (t["boxes"][:, 0] < 80).all() and (t["boxes"][:, 1] < 64).all()
+
+
+@pytest.mark.slow
 def test_rest_serving(detector, rng):
     import hd_yolo_tpu.serving as serving
     from http.server import ThreadingHTTPServer
