@@ -7,6 +7,8 @@ is required; for production put it behind a proper WSGI/ASGI runner.
 
 Run: ``python -m hd_yolo_tpu.serving --weights ckpt/ --port 5000``
 POST an image: ``curl -F image=@tile.png http://host:5000/v1/object-detection/hd_yolo``
+POST a slide (tiled + stitched, slide coords): ``curl -F image=@slide.png
+http://host:5000/v1/slide/hd_yolo``
 """
 
 from __future__ import annotations
@@ -55,7 +57,8 @@ class Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": "not found"})
 
     def do_POST(self):
-        if not self.path.startswith("/v1/object-detection"):
+        is_slide = self.path.startswith("/v1/slide")
+        if not (is_slide or self.path.startswith("/v1/object-detection")):
             self._send(404, {"error": "not found"})
             return
         length = int(self.headers.get("Content-Length", 0))
@@ -74,7 +77,11 @@ class Handler(BaseHTTPRequestHandler):
         except Exception as e:
             self._send(400, {"error": f"bad image: {e}"})
             return
-        results = _detector(img)
+        if is_slide:
+            # tiled whole-slide inference, records in slide coordinates
+            results = _detector.slide(img, mask_uint8=True)
+        else:
+            results = _detector(img)
         self._send(200, results.to_records())
 
     def log_message(self, fmt, *args):  # route to our logger

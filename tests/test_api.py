@@ -143,6 +143,18 @@ def test_rest_serving(detector, rng):
         with urllib.request.urlopen(req) as r:
             payload = json.load(r)
         assert isinstance(payload, list)
+        # slide endpoint: tiled + stitched, records in slide coordinates
+        big = rng.integers(0, 255, (200, 260, 3), dtype=np.uint8)
+        ok, enc2 = cv2.imencode(".png", big)
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/slide/hd_yolo",
+            data=enc2.tobytes(), headers={"Content-Type": "image/png"},
+        )
+        with urllib.request.urlopen(req2) as r:
+            payload2 = json.load(r)
+        assert isinstance(payload2, list)
+        for row in payload2:
+            assert 0 <= row["xmin"] <= 260 and 0 <= row["ymax"] <= 200
     finally:
         server.shutdown()
 
