@@ -614,3 +614,143 @@ def test_reference_summarize_cm_and_mcc_golden(rng):
     r1, r2 = ref_smcc(y_true, y_pred), our_smcc(y_true, y_pred)
     for k in r1:
         assert r2[k] == pytest.approx(r1[k], abs=1e-9), k
+
+
+def test_reference_matcher_golden(shared_models, rng):
+    """Direct golden of the target assigner vs the REAL ``Detect.matcher``
+    (yolo_head.py:357-417) on adversarial GT: random aspect ratios (some
+    beyond anchor_t), centers at cell boundaries and image edges, ragged
+    per-image target counts.  The full matched-candidate multiset —
+    (image, anchor, cell, object, tbox, anchor_wh) per level — must be
+    identical.  The earlier loss golden pins this only transitively and only
+    on collision-free anchor-shaped GT."""
+    from hd_yolo_tpu.models.matcher import match_targets
+
+    ref, _, _ = shared_models
+    head = ref.headers["det"]
+    anchors_cells = [buf.anchor.detach().float() for buf in head.anchors]
+    anchor_t = float(head.det_loss.hyp["anchor_t"])
+    H = W = 256
+    level_shapes = [(H // int(buf.stride), W // int(buf.stride))
+                    for buf in head.anchors]
+
+    B, T = 3, 6
+    nts = [6, 4, 5]
+    boxes_n = np.zeros((B, T, 4), np.float32)   # normalized xywh
+    valid = np.zeros((B, T), bool)
+    for b, nt in enumerate(nts):
+        cx = rng.uniform(0.02, 0.98, nt)
+        cy = rng.uniform(0.02, 0.98, nt)
+        w = rng.uniform(0.01, 0.6, nt)
+        h = rng.uniform(0.01, 0.6, nt)
+        boxes_n[b, :nt] = np.stack([cx, cy, w, h], -1)
+        valid[b, :nt] = True
+    # adversarial rows: exact cell-boundary center, image-corner box,
+    # extreme aspect ratio (anchor-filtered everywhere), tiny box
+    boxes_n[0, 0] = [4.0 / level_shapes[0][1], 8.0 / level_shapes[0][0], 0.1, 0.1]
+    boxes_n[0, 1] = [0.004, 0.004, 0.008, 0.008]
+    boxes_n[0, 2] = [0.5, 0.5, 0.64, 0.005]
+    boxes_n[1, 0] = [0.996, 0.996, 0.008, 0.008]
+
+    # reference: gts rows (img_id, cx, cy, w, h), concatenated by image
+    rows, ref2flat = [], []
+    for b, nt in enumerate(nts):
+        for t in range(nt):
+            rows.append([b, *boxes_n[b, t]])
+            ref2flat.append(b * T + t)
+    gts = torch.tensor(rows, dtype=torch.float32)
+    fake_p = [torch.zeros((B, head.na, ny, nx, head.no))
+              for (ny, nx) in level_shapes]
+    tbox_r, tids_r, indices_r, anch_r = head.matcher(fake_p, gts)
+
+    import jax.numpy as jnp
+    matches = match_targets(
+        jnp.asarray(boxes_n), jnp.asarray(valid),
+        [jnp.asarray(a.numpy()) for a in anchors_cells],
+        level_shapes, anchor_t)
+
+    def key(vals):
+        return tuple(int(v) if i < 5 else round(float(v), 4)
+                     for i, v in enumerate(vals))
+
+    for lvl in range(len(level_shapes)):
+        bi, ai, gj, gi = (x.numpy() for x in indices_r[lvl])
+        tb, aw = tbox_r[lvl].numpy(), anch_r[lvl].numpy()
+        obj = np.asarray([ref2flat[i] for i in tids_r[lvl].numpy()])
+        ref_set = sorted(
+            key([bi[n], ai[n], gj[n], gi[n], obj[n],
+                 tb[n, 0], tb[n, 1], tb[n, 2], tb[n, 3], aw[n, 0], aw[n, 1]])
+            for n in range(len(bi)))
+
+        m = matches[lvl]
+        v = np.asarray(m.valid)
+        our_set = sorted(
+            key([np.asarray(m.b)[n], np.asarray(m.a)[n], np.asarray(m.gj)[n],
+                 np.asarray(m.gi)[n], np.asarray(m.obj_idx)[n],
+                 *np.asarray(m.tbox)[n], *np.asarray(m.anchor_wh)[n]])
+            for n in np.nonzero(v)[0])
+        assert ref_set == our_set, f"level {lvl}: candidate sets differ"
+        assert len(ref_set) > 10 or lvl == 2   # sanity: matches actually exist
+
+
+def test_reference_mask_target_golden(rng):
+    """Data-pipeline golden: the 28×28 in-box mask training targets produced
+    by the REAL ``target_to_tensors`` (datasets.py:462-519) + ``Mask``
+    (image_utils.py:384-490) vs this repo's ``Mask.box_crop`` — bitwise for
+    the binary-mask path, and rasterization parity for the polygon path."""
+    import metayolo.datasets as ref_ds
+    from metayolo.engines.image_utils import Mask as RefMask
+
+    from hd_yolo_tpu.data.mask import Mask as OurMask
+
+    class RefMaskB(RefMask):
+        # upstream bug: Mask.__bool__ (image_utils.py:484-490) references an
+        # undefined name `m` in 'mask' mode, so `if mask:` inside
+        # target_to_tensors crashes; restore the obvious intent.
+        def __bool__(self):
+            if self.mode.startswith("mask"):
+                return bool(np.asarray(self.m).sum() > 0)
+            return len(self.m) > 0
+
+    H, W = 96, 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    boxes, masks_b, polys = [], [], []
+    for _ in range(8):
+        cy, cx = rng.uniform(15, H - 15), rng.uniform(15, W - 15)
+        ry, rx = rng.uniform(4, 12), rng.uniform(4, 12)
+        m = ((yy - cy) ** 2 / ry**2 + (xx - cx) ** 2 / rx**2) <= 1.0
+        # box jittered off the blob bounds like real annotations
+        boxes.append([cx - rx + rng.uniform(-2, 2), cy - ry + rng.uniform(-2, 2),
+                      cx + rx + rng.uniform(-2, 2), cy + ry + rng.uniform(-2, 2)])
+        masks_b.append(m)
+        th = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+        polys.append(np.stack([cx + rx * np.cos(th), cy + ry * np.sin(th)], -1))
+    boxes = np.asarray(boxes, np.float32)
+    # one degenerate artifact row (sum < 25): both sides must zero it
+    masks_b[3] = np.zeros_like(masks_b[3]); masks_b[3][40:44, 40:45] = True
+    labels = rng.integers(1, 5, len(boxes))
+
+    x = {"image_id": 7, "size": (H, W), "anns": {"det": [{
+        "size": (H, W),
+        "boxes": torch.from_numpy(boxes),
+        "labels": torch.from_numpy(labels),
+        "masks": [RefMaskB(m.astype(np.uint8), (H, W), "mask") for m in masks_b],
+    }]}}
+    ref28 = ref_ds.target_to_tensors(x)["anns"]["det"][0]["masks"].numpy()
+
+    ours28 = np.stack([
+        OurMask(m.astype(np.uint8), (H, W), "mask").box_crop(b, 28)
+        for m, b in zip(masks_b, boxes)])
+    np.testing.assert_allclose(ours28, ref28, atol=1e-6)
+    assert ref28[3].sum() == 0 and ref28.sum() > 50  # artifact zeroed, rest live
+
+    # polygon path: REAL reference rasterizer (cv2.fillPoly round, clip=True)
+    x["anns"]["det"][0]["masks"] = [RefMaskB([p], (H, W), "poly") for p in polys]
+    ref28p = ref_ds.target_to_tensors(x)["anns"]["det"][0]["masks"].numpy()
+    ours28p = np.stack([
+        OurMask([p], (H, W), "poly").box_crop(b, 28)
+        for p, b in zip(polys, boxes)])
+    for i in range(len(polys)):
+        a, b2 = ours28p[i] > 0.5, ref28p[i] > 0.5
+        inter, union = (a & b2).sum(), (a | b2).sum()
+        assert union == 0 or inter / union > 0.9, f"poly row {i}"
