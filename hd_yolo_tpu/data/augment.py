@@ -30,17 +30,85 @@ Ann = Dict[str, object]
 
 
 def random_hsv(img: np.ndarray, hgain=0.015, sgain=0.7, vgain=0.4, p=1.0) -> np.ndarray:
-    """uint8 HSV LUT jitter (image_utils.py:598-613)."""
+    """uint8 HSV jitter: per-channel gain in HSV space, hue wrapping mod 180
+    (behavior of image_utils.py:598-613).
+
+    Gains are applied directly to the uint8 HSV planes (a 256-entry LUT and a
+    direct multiply are the same function of pixel value; the direct form
+    vectorizes fine at tile sizes and skips building three tables)."""
     if random.random() >= p:
         return img
-    r = np.random.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
-    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
-    x = np.arange(0, 256, dtype=r.dtype)
-    lut_hue = ((x * r[0]) % 180).astype(img.dtype)
-    lut_sat = np.clip(x * r[1], 0, 255).astype(img.dtype)
-    lut_val = np.clip(x * r[2], 0, 255).astype(img.dtype)
-    im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
-    return cv2.cvtColor(im_hsv, cv2.COLOR_HSV2RGB)
+    gain = 1.0 + np.random.uniform(-1, 1, 3) * [hgain, sgain, vgain]
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float64)
+    hsv[..., 0] = np.trunc(hsv[..., 0] * gain[0]) % 180
+    hsv[..., 1:] = np.clip(np.trunc(hsv[..., 1:] * gain[1:]), 0, 255)
+    return cv2.cvtColor(hsv.astype(img.dtype), cv2.COLOR_HSV2RGB)
+
+
+# --- torch-semantics color jitter (the reference's third color mode) -------
+#
+# Behavioral reference: ``ColorJitter`` + ``random_color_jitter`` + the
+# ``adjust_*`` family (image_utils.py:540-585, 616-701): sample one factor per
+# enabled op, shuffle the op order, apply each with skimage-float math.
+# Upstream quirk worth recording: ``adjust_contrast``/``adjust_saturation``
+# call ``rgb2gray`` which is NEVER defined or imported in image_utils.py
+# (only ``gray2rgb`` is imported, :16) — the reference's 'jitter' color mode
+# raises NameError for any contrast/saturation draw.  We implement the
+# intended semantics (ITU-R 601 luma, skimage's rgb2gray weights) so the mode
+# actually works; brightness/hue match the runnable reference exactly.
+
+def _luma(img: np.ndarray, keepdims: bool = False) -> np.ndarray:
+    g = img[..., :3].astype(np.float32) @ np.asarray(
+        [0.2125, 0.7154, 0.0721], np.float32)
+    return g[..., None] if keepdims else g
+
+
+def adjust_brightness(img: np.ndarray, factor: float) -> np.ndarray:
+    return np.clip(img.astype(np.float32) * factor, 0, 255).astype(img.dtype)
+
+
+def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
+    degenerate = float(np.mean(_luma(img)))
+    return np.clip(degenerate * (1 - factor) + img * factor, 0, 255).astype(img.dtype)
+
+
+def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
+    degenerate = _luma(img, keepdims=True)
+    return np.clip(degenerate * (1 - factor) + img * factor, 0, 255).astype(img.dtype)
+
+
+def adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
+    """Multiplicative hue scale ``h *= 1+factor`` with hsv clipping — the
+    reference's (non-torchvision) formulation (image_utils.py:560-571)."""
+    if not -0.5 <= factor <= 0.5:
+        raise ValueError("hue factor must be in [-0.5, 0.5]")
+    hsv = cv2.cvtColor(img.astype(np.float32) / 255.0, cv2.COLOR_RGB2HSV)
+    hsv[..., 0] *= 1.0 + factor                      # H in [0, 360)
+    hsv[..., 0] = np.clip(hsv[..., 0], 0.0, 360.0)
+    hsv[..., 1:] = np.clip(hsv[..., 1:], 0.0, 1.0)
+    rgb = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return np.clip(np.rint(rgb * 255.0), 0, 255).astype(img.dtype)
+
+
+def color_jitter(img: np.ndarray, brightness=0.3, contrast=0.3,
+                 saturation=0.3, hue=(-0.15, 0.1), p=1.0) -> np.ndarray:
+    """Random-order brightness/contrast/saturation/hue jitter with the
+    reference train chain's parameters (datasets.py:526:
+    ColorJitter(0.3, 0.3, 0.3, (-0.15, 0.1), p=1.0))."""
+    if random.random() >= p:
+        return img
+    span = lambda v, lo: (max(lo, 1 - v), 1 + v) if np.isscalar(v) else tuple(v)
+    pars = [("brightness", np.random.uniform(*span(brightness, 0))),
+            ("contrast", np.random.uniform(*span(contrast, 0))),
+            ("saturation", np.random.uniform(*span(saturation, 0))),
+            ("hue", np.random.uniform(*(hue if not np.isscalar(hue)
+                                        else (-hue, hue))))]
+    np.random.shuffle(pars)
+    fns = {"brightness": adjust_brightness, "contrast": adjust_contrast,
+           "saturation": adjust_saturation, "hue": adjust_hue}
+    for key, val in pars:
+        img = fns[key](img, float(val))
+    return img
 
 
 def color_dodge(img: np.ndarray, global_mean=0.01, channel_mean=0.01,
@@ -315,7 +383,13 @@ def train_proc_multi(img: np.ndarray, anns: Dict[str, Ann], hyp: Dict
     datasets.py:522-539)."""
     color_aug = hyp.get("color_aug", "hsv")
     if color_aug == "hsv":
-        img = random_hsv(img, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
+        # the reference's random_hsv ignores the p=1.0 it is called with and
+        # fires with probability 0.5 (image_utils.py:600 hardcodes the coin);
+        # match that training distribution
+        img = random_hsv(img, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7),
+                         hyp.get("hsv_v", 0.4), p=hyp.get("hsv_p", 0.5))
+    elif color_aug == "jitter":
+        img = color_jitter(img)  # datasets.py:526 fixed parameters
     elif color_aug == "dodge":
         img = color_dodge(img)
 

@@ -94,6 +94,16 @@ class Detect(nn.Module):
     # inference mask-pool window (feature px), None = exact canvas einsum;
     # see ops.roi_align.multiscale_roi_align_batched
     mask_window: Any = None
+    # occupancy packing: global cross-batch mask-ROI budget.  None = pay
+    # pooling+head for all B×max_masks slots (legacy, exact at any
+    # occupancy); an int K gathers the top-K valid detections of the WHOLE
+    # batch into one flat ROI list before pooling+head, so mask-branch cost
+    # scales with K instead of B×max_masks.  Outputs are identical whenever
+    # the batch carries ≤ K mask-eligible detections (typical nuclei tiles:
+    # ~30-50/img — see OCCUPANCY.json); beyond that, lowest-score detections
+    # lose their masks (reference computes masks for all post-NMS keeps,
+    # yolo_head.py:279-299, but caps keeps at max_det anyway).
+    mask_budget: Any = None
 
     # ------------------------------------------------------------------ setup
     @property
@@ -300,13 +310,18 @@ class Detect(nn.Module):
             boxes_r = det["boxes"][:, :R]   # NMS output is score-ordered
             levels_r = out["levels"][:, :R]
             M = self.mask_output_size // 2
+            B = boxes_r.shape[0]
+            mask_idx = jnp.asarray(self.mask_indices_list)
+            mask_labels = mask_idx[jnp.clip(labels[:, :R], 0, self.nc)]  # −100 → 0
+            if self.mask_budget:
+                out.update(self._packed_masks(
+                    seg_feats, det, boxes_r, levels_r, mask_labels,
+                    final_scores[:, :R], M))
+                return out
             pooled = multiscale_roi_align_batched(
                 list(seg_feats), boxes_r, levels_r, self.spec.strides, M,
                 window=self.mask_window,
             )
-            B = boxes_r.shape[0]
-            mask_idx = jnp.asarray(self.mask_indices_list)
-            mask_labels = mask_idx[jnp.clip(labels[:, :R], 0, self.nc)]  # −100 → 0
             if self._fused_mask_head_ok():
                 from ..ops.pallas_mask_head import fused_mask_probs
 
@@ -327,6 +342,41 @@ class Detect(nn.Module):
             out["masks"] = sel          # (B, R, 28, 28) in-box probs
             out["mask_valid"] = det["valid"][:, :R] & (mask_labels >= 0)
         return out
+
+    def _packed_masks(self, seg_feats, det, boxes_r, levels_r, mask_labels,
+                      scores_r, M):
+        """Occupancy-packed mask branch (see ``mask_budget``): gather the
+        top-K mask-eligible detections of the whole batch into one flat ROI
+        list, pool + run the head once at size K, scatter back to (B, R)."""
+        from ..ops.roi_align import multiscale_roi_align_packed
+
+        B, R = levels_r.shape
+        eligible = det["valid"][:, :R] & (mask_labels >= 0)
+        K = min(int(self.mask_budget), B * R)
+        flat_score = jnp.where(eligible, scores_r, 0.0).reshape(B * R)
+        top_s, top_i = jax.lax.top_k(flat_score, K)
+        sel_ok = top_s > 0.0                 # padding / ineligible slots
+        b_idx = top_i // R
+        r_idx = top_i % R
+
+        pooled = multiscale_roi_align_packed(
+            list(seg_feats),
+            boxes_r.reshape(B * R, 4)[top_i],
+            levels_r.reshape(B * R)[top_i],
+            b_idx, self.spec.strides, M,
+            window=int(self.mask_window or 16),
+        )                                    # (K, M, M, C)
+        logits = self.mask_head(pooled)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        lab_k = jnp.clip(mask_labels.reshape(B * R)[top_i], 0)
+        sel = jnp.take_along_axis(
+            probs, lab_k[:, None, None, None], axis=-1
+        )[..., 0] * sel_ok[:, None, None]    # (K, 28, 28)
+
+        S = self.mask_output_size
+        masks = jnp.zeros((B, R, S, S), sel.dtype).at[b_idx, r_idx].set(sel)
+        mask_valid = jnp.zeros((B, R), bool).at[b_idx, r_idx].set(sel_ok)
+        return {"masks": masks, "mask_valid": mask_valid & eligible}
 
     # --------------------------------------------------------------- training
     def _compute_losses(

@@ -69,6 +69,9 @@ class Model(nn.Module):
     # opt-in mask-pool window (feature px); exact for boxes spanning ≤ w−2
     # cells at their level — see ops.roi_align.multiscale_roi_align_batched
     mask_window: Any = None
+    # occupancy packing: global cross-batch mask-ROI budget (None = legacy
+    # per-image capacity) — see Detect.mask_budget
+    mask_budget: Any = None
 
     @classmethod
     def from_cfg(cls, cfg, hyp=None, **kwargs) -> "Model":
@@ -105,6 +108,7 @@ class Model(nn.Module):
                     max_masks=self.max_masks,
                     mask_rois=self.mask_rois,
                     mask_window=self.mask_window,
+                    mask_budget=self.mask_budget,
                     dim_reduced=self.dim_reduced,
                     name=f"header_{h.tag}",
                 )

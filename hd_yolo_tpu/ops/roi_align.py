@@ -401,6 +401,98 @@ def _multiscale_roi_align_windows(
     return out.astype(features[0].dtype)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio", "aligned",
+                     "window"),
+)
+def multiscale_roi_align_packed(
+    features,               # per level (B, H_l, W_l, C)
+    boxes: Array,           # (K, 4) xyxy image coords — FLAT across the batch
+    levels: Array,          # (K,) int level per ROI
+    batch_idx: Array,       # (K,) int source image per ROI
+    strides,
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+    window: int = 16,
+) -> Array:
+    """Occupancy-packed multi-level ROI-align → (K, M, M, C).
+
+    The batched paths pay pooling + head cost for every (image, slot) pair
+    whether or not the slot holds a real detection; this flat variant pools a
+    single cross-batch ROI list (callers gather the top-K *valid* detections
+    of the whole batch into it — see ``Detect._compute_outputs``), so cost
+    scales with the global ROI budget instead of B×max_masks.  Reference
+    anchor: masks are computed only for post-NMS keeps
+    (``yolo_head.py:279-299``); a static global budget is the TPU-shaped
+    version of that data-dependent set.
+
+    Pooling uses the gathered-window formulation (window² per ROI instead of
+    the full ΣH_l×W0 canvas): per ROI one dynamic-slice of its image's
+    canvas + two tiny matmuls.  Exact (vs the canvas einsum) for every ROI
+    whose sampled span fits the window — span ≤ window−2 feature px at its
+    level; larger ROIs get border-truncated sampling.
+    """
+    M, n = output_size, sampling_ratio
+    S = M * n
+    B, H0, W0, C = features[0].shape
+    stacked, metas = [], []
+    off = 0
+    for f, s in zip(features, strides):
+        h, w = f.shape[1:3]
+        stacked.append(jnp.pad(f, ((0, 0), (0, 0), (0, W0 - w), (0, 0))))
+        metas.append((off, h, w, float(s)))
+        off += h
+    canvas = jnp.concatenate(stacked, axis=1)   # (B, Ht, W0, C)
+    Ht = off
+    win = min(window, Ht, W0)
+
+    meta = jnp.asarray(metas, jnp.float32)
+    lv = jnp.clip(levels, 0, len(features) - 1)
+    moff, mh, mw = meta[lv, 0], meta[lv, 1], meta[lv, 2]
+    scale = 1.0 / meta[lv, 3]
+
+    bf = boxes.astype(jnp.float32)
+    offset = 0.5 if aligned else 0.0
+    x1 = bf[:, 0] * scale - offset
+    y1 = bf[:, 1] * scale - offset
+    x2 = bf[:, 2] * scale - offset
+    y2 = bf[:, 3] * scale - offset
+    roi_w, roi_h = x2 - x1, y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    s_idx = jnp.arange(S, dtype=jnp.float32) + 0.5
+    ys = y1[:, None] + s_idx * (roi_h / S)[:, None] + moff[:, None]
+    xs = x1[:, None] + s_idx * (roi_w / S)[:, None]
+
+    oy = jnp.clip(jnp.floor(ys[:, 0]), 0, Ht - win).astype(jnp.int32)
+    ox = jnp.clip(jnp.floor(xs[:, 0]), 0, W0 - win).astype(jnp.int32)
+    oyf, oxf = oy.astype(jnp.float32), ox.astype(jnp.float32)
+
+    cdtype = canvas.dtype if canvas.dtype == jnp.bfloat16 else jnp.float32
+    Wy = _bounded_interp_matrix(
+        ys - oyf[:, None], moff - oyf, moff + mh - oyf, win, M, n
+    ).astype(cdtype)
+    Wx = _bounded_interp_matrix(
+        xs - oxf[:, None], -oxf, mw - oxf, win, M, n
+    ).astype(cdtype)
+
+    b_idx = jnp.clip(batch_idx, 0, B - 1)
+    patch = jax.vmap(
+        lambda b, a, c: lax.dynamic_slice(
+            canvas, (b, a, c, 0), (1, win, win, C))[0]
+    )(b_idx, oy, ox).astype(cdtype)                 # (K, win, win, C)
+    rows = jnp.einsum(
+        "ksh,khwc->kswc", Wy, patch, preferred_element_type=jnp.float32
+    ).astype(cdtype)
+    out = jnp.einsum(
+        "ktw,kswc->kstc", Wx, rows, preferred_element_type=jnp.float32
+    )
+    return out.astype(features[0].dtype)
+
+
 def multiscale_roi_align(
     features: Sequence[Array],
     boxes: Array,

@@ -79,6 +79,7 @@ def img_as_bool(img):
 
 
 from . import color, io, morphology, transform, util  # noqa: E402
+from .util import dtype_limits  # noqa: E402  (pre-0.16 top-level re-export)
 
 __all__ = ["color", "io", "morphology", "transform", "util", "__version__",
            "img_as_float32", "img_as_float64", "img_as_float", "img_as_ubyte",

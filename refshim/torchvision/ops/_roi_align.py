@@ -32,28 +32,39 @@ def _to_roi_format(boxes: Union[Tensor, List[Tensor]]) -> Tensor:
 
 
 def _bilinear_gather(feat: Tensor, batch_idx: Tensor, ys: Tensor, xs: Tensor) -> Tensor:
-    """feat (N,C,H,W); ys (K,Sy); xs (K,Sx) -> (K, C, Sy, Sx) bilinear samples."""
+    """feat (N,C,H,W); ys (K,Sy); xs (K,Sx) -> (K, C, Sy, Sx) bilinear samples.
+
+    Torchvision's sampling rule is border-clamped bilinear with exact zero
+    for points outside (-1, H)/(-1, W) — identical to
+    ``grid_sample(padding_mode='border', align_corners=False)`` times an
+    in-range mask (a clamped point interpolates the border pixel either
+    way).  grid_sample's C++ kernel is ~100× the speed of broadcast fancy
+    indexing on CPU, which used to dominate the reference's whole train step
+    (the mask path pools every matched candidate, yolo_head.py:243)."""
     N, C, H, W = feat.shape
-    # outside [-1, H]/[-1, W] contributes exactly zero
+    K, Sy = ys.shape
+    Sx = xs.shape[1]
     valid = ((ys > -1.0) & (ys < float(H)))[:, :, None] & \
             ((xs > -1.0) & (xs < float(W)))[:, None, :]
-    y = ys.clamp(min=0.0, max=float(H - 1))
-    x = xs.clamp(min=0.0, max=float(W - 1))
-    y0 = y.floor().long()
-    x0 = x.floor().long()
-    y1 = (y0 + 1).clamp(max=H - 1)
-    x1 = (x0 + 1).clamp(max=W - 1)
-    ly = (y - y0.to(y.dtype))[:, None, :, None]    # (K,1,Sy,1)
-    lx = (x - x0.to(x.dtype))[:, None, None, :]    # (K,1,1,Sx)
-    b = batch_idx[:, None, None]
-    # gather 4 corners: advanced indexing keeps channel dim intact
-    f = feat.permute(0, 2, 3, 1)                   # (N,H,W,C)
-    v00 = f[b, y0[:, :, None], x0[:, None, :]].permute(0, 3, 1, 2)
-    v01 = f[b, y0[:, :, None], x1[:, None, :]].permute(0, 3, 1, 2)
-    v10 = f[b, y1[:, :, None], x0[:, None, :]].permute(0, 3, 1, 2)
-    v11 = f[b, y1[:, :, None], x1[:, None, :]].permute(0, 3, 1, 2)
-    out = (v00 * (1 - ly) * (1 - lx) + v01 * (1 - ly) * lx
-           + v10 * ly * (1 - lx) + v11 * ly * lx)
+    # normalized sample-center coords (align_corners=False convention)
+    gy = (ys + 0.5) * (2.0 / H) - 1.0              # (K, Sy)
+    gx = (xs + 0.5) * (2.0 / W) - 1.0              # (K, Sx)
+    out = torch.empty((K, C, Sy, Sx), dtype=feat.dtype, device=feat.device)
+    for n in torch.unique(batch_idx):
+        sel = torch.where(batch_idx == n)[0]
+        k = sel.numel()
+        # pack this image's ROIs along the output-H axis: one grid_sample
+        grid = torch.stack(
+            [gx[sel][:, None, :].expand(k, Sy, Sx),
+             gy[sel][:, :, None].expand(k, Sy, Sx)], dim=-1
+        ).reshape(1, k * Sy, Sx, 2)
+        v = torch.nn.functional.grid_sample(
+            feat[int(n): int(n) + 1], grid, mode="bilinear",
+            padding_mode="border", align_corners=False,
+        )                                          # (1, C, k*Sy, Sx)
+        out[sel] = v.reshape(C, k, Sy, Sx).transpose(0, 1)
+    if bool(valid.all()):   # train-path GT boxes never leave the image
+        return out
     return out * valid[:, None].to(out.dtype)
 
 
@@ -85,7 +96,7 @@ def _roi_align_fixed_grid(feat: Tensor, rois: Tensor, ph: int, pw: int,
         + (ix[None, None, :] + 0.5) * (bin_w[:, None, None] / gw)
     C = feat.shape[1]
     out = torch.zeros((K, C, ph, pw), dtype=feat.dtype, device=feat.device)
-    chunk = max(1, 4_000_000 // max(1, C * ph * gh * pw * gw))
+    chunk = max(1, 32_000_000 // max(1, C * ph * gh * pw * gw))
     for s in range(0, K, chunk):
         e = min(s + chunk, K)
         v = _bilinear_gather(feat, batch_idx[s:e],

@@ -88,6 +88,39 @@ def test_inference_outputs(small_model):
     assert np.isfinite(np.asarray(o["boxes"])).all()
 
 
+def test_packed_mask_branch_matches_unpacked(small_model):
+    """mask_budget (occupancy packing) must reproduce the per-image-capacity
+    path exactly while the batch's eligible detections fit the budget; under
+    a too-small budget only the lowest-scored detections lose masks."""
+    m, vars_ = small_model
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32))
+    mk = lambda **kw: Model.from_cfg(
+        "yolov5s-test", "hyp-nuclei", mask_rois=8, max_masks=16,
+        pre_nms_topk=256, mask_window=8, **kw)
+    _, ref = mk().apply(vars_, x, train=False, compute_masks=True)
+    _, packed = mk(mask_budget=32).apply(vars_, x, train=False,
+                                         compute_masks=True)
+    r, p = ref["det"], packed["det"]
+    np.testing.assert_array_equal(np.asarray(r["mask_valid"]),
+                                  np.asarray(p["mask_valid"]))
+    mv = np.asarray(r["mask_valid"])
+    np.testing.assert_allclose(np.asarray(r["masks"])[mv],
+                               np.asarray(p["masks"])[mv], atol=1e-6)
+    assert np.all(np.asarray(p["masks"])[~mv] == 0)
+
+    # adversarial: budget below the eligible count keeps only the top-scored
+    n_elig = int(mv.sum())
+    if n_elig >= 2:
+        _, tight = mk(mask_budget=n_elig - 1).apply(vars_, x, train=False,
+                                                    compute_masks=True)
+        tv = np.asarray(tight["det"]["mask_valid"])
+        assert tv.sum() == n_elig - 1
+        sc = np.asarray(r["scores"])[:, :16]
+        dropped = mv & ~tv
+        assert sc[dropped].max() <= sc[tv].min() + 1e-6
+
+
 def test_jit_forward(small_model):
     m, vars_ = small_model
     fwd = jax.jit(lambda v, x: m.apply(v, x, train=False, compute_masks=True))
