@@ -42,6 +42,12 @@ _ASYNC: Dict[str, Any] = {}  # path → (AsyncCheckpointer, meta) of in-flight s
 
 
 def _write_meta(path: str, meta: Dict[str, Any]) -> None:
+    # orbax saves are COLLECTIVE in a multi-process runtime (every process
+    # must enter Checkpointer.save or its internal barrier mismatches) and
+    # orbax already dedupes the tensorstore writes to the primary host; the
+    # json sidecar is the only side effect left to rank-gate ourselves
+    if jax.process_index() != 0:
+        return
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
 

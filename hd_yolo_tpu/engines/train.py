@@ -456,15 +456,19 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                 best_fitness, fit,
             )
 
+            # orbax saves are collective: EVERY process must call them (the
+            # checkpointer rank-gates the actual writes + meta internally);
+            # the trigger conditions are global quantities (fit/epoch), so
+            # all processes take the same branch (train.py:529-547 analog)
             if fit >= best_fitness:
                 best_fitness = fit
-                if main_proc and do_val:
+                if do_val:
                     save_checkpoint(os.path.join(save_dir, "best"), state, epoch,
                                     best_fitness, async_save=opt.async_ckpt)
             # 'last' on schedule (--save-interval) + always on the final epoch:
             # a full TrainState is ~1 GB at flagship size — every-epoch writes
             # can dominate wall-clock on slow disks
-            if main_proc and (
+            if (
                 (epoch + 1) % max(getattr(opt, "save_interval", 1), 1) == 0
                 or epoch == opt.epochs - 1
             ):
@@ -476,9 +480,8 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
             if do_val and stopper(epoch, fit):
                 break
 
-    if main_proc:
-        wait_for_saves()  # drain in-flight async checkpoint writes
-        save_inference(os.path.join(save_dir, "final"), state)
+    wait_for_saves()  # drain in-flight async checkpoint writes
+    save_inference(os.path.join(save_dir, "final"), state)  # collective
     callbacks.run("on_train_end")
     return {"best_fitness": best_fitness, **final_stats}
 

@@ -248,13 +248,16 @@ class Detect(nn.Module):
     # ------------------------------------------------------------- inference
     def hierarchical_scores(self, scores: Array) -> Array:
         """Top-down children cascade: each node's direct children are scaled
-        by the (already-cascaded) node score — the semantics of the
-        reference's ``hierarchical_scores_bfs`` (yolo_head.py:493-508), and
-        identical to its deployed descendants variant (:473-479) on the flat
-        default tree.  On DEEP trees the deployed variant re-multiplies
-        ancestor scores once per level (s0² for depth-2 leaves — its own bfs
-        rewrite avoids that); we follow the bfs/cascade math.  Default tree:
-        root 0 (objectness) → classes 1..nc."""
+        by the (already-cascaded) node score — the semantics of BOTH
+        reference variants: ``hierarchical_scores_bfs`` (yolo_head.py:
+        493-508) trivially, and the deployed descendants form (:473-479)
+        because ``get_descendants`` inserts child entries before their
+        parents (post-order), so its in-place multiplies compound bottom-up
+        into exactly the cascade product — proven equal on depth-3 trees
+        against the real reference code in
+        tests/test_reference_golden.py::test_hierarchical_scores_deep_tree.
+        Hierarchy rows here must list parents before children (BFS order).
+        Default tree: root 0 (objectness) → classes 1..nc."""
         tree = self.hierarchy()
         for node, children in tree:
             idx = jnp.asarray(children)

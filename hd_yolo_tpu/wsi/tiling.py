@@ -106,6 +106,11 @@ def slide_inference(
     mask_uint8: bool = False,
     fused: bool = False,
     forward_vars=None,
+    band_limit: bool = True,
+    band_margin: int = 32,
+    max_band: int = 1024,
+    mask_bits: bool = False,
+    packed_fetch: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Run tiled inference over a slide and stitch detections globally.
 
@@ -128,6 +133,16 @@ def slide_inference(
         baked into the compile payload.
       forward_vars: optional pytree passed as ``forward``'s first argument
         through the jit boundary (required for fused mode with real models).
+      band_limit: run the stitching NMS only over detections in the shared
+        overlap bands (exact when the per-tile and stitch passes share
+        ``iou_thres`` — the default; see ``_band_flags``).  Set False when
+        stitching with a tighter threshold than the tiles used.
+      band_margin / max_band: band width slack (px) and band-NMS capacity.
+      mask_bits: return masks THRESHOLDED at 0.5 and bit-packed on device —
+        host masks come back as bool (K, S, S).  Lossless for the paste
+        product path; 32× less transfer than float probabilities.
+      packed_fetch: fetch all per-row outputs as one device buffer instead
+        of one transfer per key (remote chips charge ~29 ms per fetch).
 
     Returns dict of host arrays: boxes (slide coords), scores, labels, valid
     (+ masks/mask_valid when the forward provides them).
@@ -139,14 +154,16 @@ def slide_inference(
     origins_p = np.concatenate([origins, np.tile(origins[-1:], (pad, 1))]) if pad else origins
     slide = jnp.asarray(slide)
 
+    mask_uint8 = mask_uint8 and not mask_bits  # bitpack reads probabilities
     if fused:
         runner = _fused_runner(
             forward, preprocess, tile, n, float(iou_thres), max_total,
             class_aware_nms, mask_uint8, forward_vars is None,
+            (H, W, overlap, band_margin) if band_limit else None, max_band,
         )
         origins_b = jnp.asarray(origins_p.reshape(-1, batch, 2))
         gathered = runner(slide, origins_b, forward_vars)
-        return jax.tree.map(np.asarray, gathered)
+        return _fetch_gathered(gathered, mask_bits, packed_fetch)
 
     call = (lambda t: forward(forward_vars, t)) if forward_vars is not None else forward
 
@@ -157,7 +174,11 @@ def slide_inference(
         tiles = extract_tiles(slide, ob, tile)
         if preprocess is not None:
             tiles = preprocess(tiles)
-        chunks.append(_shift_and_pad(call(tiles), ob))
+        chunk = _shift_and_pad(call(tiles), ob)
+        if band_limit:
+            chunk["band"] = _band_flags(chunk["boxes"], ob, H, W, tile,
+                                        overlap, band_margin)
+        chunks.append(chunk)
 
     merged = {
         k: jnp.concatenate([c[k] for c in chunks])[:n] for k in chunks[0]
@@ -168,13 +189,43 @@ def slide_inference(
         flat["labels"] if class_aware_nms else jnp.zeros_like(flat["labels"])
     )
     gathered = _global_stitch_nms(
-        flat, labels_for_nms, iou_thres, max_total, mask_uint8
+        flat, labels_for_nms, iou_thres, max_total, mask_uint8,
+        max_band=max_band,
     )
     # One fetch of the final (max_total, ...) rows only.  Fetching the full
     # padded per-tile set first (the pre-round-3 flow) moved ~4x the bytes
     # host-side for the same result — on a remote-attached chip that transfer
     # dominated the whole pipeline.
-    return jax.tree.map(np.asarray, gathered)
+    return _fetch_gathered(gathered, mask_bits, packed_fetch)
+
+
+def _band_flags(boxes_slide: Array, ob: Array, H: int, W: int, tile: int,
+                overlap: int, margin: int = 32) -> Array:
+    """(B, D) bool: detection may interact with another tile's detections.
+
+    Per-tile NMS survivors are mutually below the IoU threshold, and a box
+    that stays inside its tile's non-shared core cannot intersect any box
+    from another tile (their areas are disjoint) — so cross-tile suppression
+    is only possible for boxes touching the shared bands.  The band is
+    ``overlap + margin`` px from any tile edge that has a neighbor (slide
+    borders have none); ``margin`` absorbs boxes whose regression extends
+    past their tile's bounds.  Exactness: global-NMS ≡ interior ∪
+    NMS(band) whenever both passes use the same iou threshold
+    (tests/test_wsi_preproc.py pins the equivalence).
+    """
+    b = float(overlap + margin)
+    y0 = ob[:, 0:1].astype(jnp.float32)
+    x0 = ob[:, 1:2].astype(jnp.float32)
+    lo_y = y0 + jnp.where(y0 > 0, b, 0.0)
+    hi_y = y0 + tile - jnp.where(y0 + tile < H, b, 0.0)
+    lo_x = x0 + jnp.where(x0 > 0, b, 0.0)
+    hi_x = x0 + tile - jnp.where(x0 + tile < W, b, 0.0)
+    bx = boxes_slide.astype(jnp.float32)
+    interior = (
+        (bx[..., 0] >= lo_x) & (bx[..., 2] <= hi_x)
+        & (bx[..., 1] >= lo_y) & (bx[..., 3] <= hi_y)
+    )
+    return ~interior
 
 
 def _shift_and_pad(out: Dict[str, Array], ob: Array) -> Dict[str, Array]:
@@ -201,9 +252,90 @@ def _shift_and_pad(out: Dict[str, Array], ob: Array) -> Dict[str, Array]:
     return chunk
 
 
+_PACK_SKIP = ("masks",)
+
+
+@jax.jit
+def _pack_rows_jit(rest: Dict[str, Array]) -> Array:
+    return jnp.concatenate(
+        [rest[k].reshape(rest[k].shape[0], -1).astype(jnp.float32)
+         for k in sorted(rest)], axis=1)
+
+
+_bitpack_jit = None  # set below (needs _bitpack_masks defined first)
+
+
+def _fetch_gathered(gathered, mask_bits: bool, packed_fetch: bool
+                    ) -> Dict[str, np.ndarray]:
+    """Bring the stitched rows to host with as few tunnel round-trips as
+    possible: one packed f32 buffer for all per-row keys (+ one bit-packed
+    or raw buffer for masks)."""
+    global _bitpack_jit
+    if not packed_fetch:
+        out = dict(gathered)
+        if mask_bits and "masks" in out:
+            if _bitpack_jit is None:
+                _bitpack_jit = jax.jit(_bitpack_masks)
+            side = out["masks"].shape[-1]
+            out["masks"] = _bitunpack_masks(
+                np.asarray(_bitpack_jit(out["masks"])), side)
+            rest = {k: np.asarray(v) for k, v in out.items() if k != "masks"}
+            return {**rest, "masks": out["masks"]}
+        return jax.tree.map(np.asarray, out)
+    masks = gathered.get("masks")
+    rest = {k: v for k, v in gathered.items() if k not in _PACK_SKIP}
+    layout = tuple(
+        (k, int(np.prod(rest[k].shape[1:])) if rest[k].ndim > 1 else 1,
+         str(rest[k].dtype), tuple(rest[k].shape[1:]))
+        for k in sorted(rest))
+    packed = _pack_rows_jit(rest)
+    if masks is not None and mask_bits:
+        if _bitpack_jit is None:
+            _bitpack_jit = jax.jit(_bitpack_masks)
+        masks_dev = _bitpack_jit(masks)
+    else:
+        masks_dev = masks
+    host = _unpack_rows(np.asarray(packed), layout)
+    if masks is not None:
+        m = np.asarray(masks_dev)
+        host["masks"] = (_bitunpack_masks(m, masks.shape[-1])
+                         if mask_bits else m)
+    return host
+
+
+def _unpack_rows(packed: np.ndarray, layout: Tuple) -> Dict[str, np.ndarray]:
+    out, off = {}, 0
+    for k, w, dtype, shape in layout:
+        sl = packed[:, off: off + w].reshape((-1,) + tuple(shape))
+        if dtype == "bool":
+            out[k] = sl > 0.5
+        elif dtype.startswith("int") or dtype.startswith("uint"):
+            out[k] = np.rint(sl).astype(dtype)
+        else:
+            out[k] = sl.astype(dtype)
+        off += w
+    return out
+
+
+def _bitpack_masks(masks: Array) -> Array:
+    """(K, S, S) probabilities → (K, S·S/8) uint8, 8 px/byte at the 0.5
+    product threshold (paste semantics, yolo_head.py:450-471) — 32× less
+    fetch than f32, 8× less than uint8."""
+    K, S, _ = masks.shape
+    bits = (masks.reshape(K, -1, 8) > 0.5).astype(jnp.uint8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
+def _bitunpack_masks(packed: np.ndarray, side: int) -> np.ndarray:
+    K = packed.shape[0]
+    bits = np.unpackbits(packed, axis=-1, bitorder="little")
+    return bits.reshape(K, side, side).astype(bool)
+
+
 @functools.lru_cache(maxsize=32)
 def _fused_runner(forward, preprocess, tile, n, iou_thres, max_total,
-                  class_aware_nms, mask_uint8, no_vars):
+                  class_aware_nms, mask_uint8, no_vars, band_cfg, max_band):
     """Build (and cache) the one-dispatch fused slide-inference program."""
 
     @jax.jit
@@ -218,7 +350,12 @@ def _fused_runner(forward, preprocess, tile, n, iou_thres, max_total,
             if preprocess is not None:
                 tiles = preprocess(tiles)
             out = forward(tiles) if no_vars else forward(fvars, tiles)
-            return carry, _shift_and_pad(out, ob)
+            chunk = _shift_and_pad(out, ob)
+            if band_cfg is not None:
+                H, W, overlap, margin = band_cfg
+                chunk["band"] = _band_flags(chunk["boxes"], ob, H, W, tile,
+                                            overlap, margin)
+            return carry, chunk
 
         _, chunks = jax.lax.scan(body, None, origins_b)
         # chunks: (nb, batch, D, ...) → flatten; rows from the grid-pad
@@ -234,35 +371,69 @@ def _fused_runner(forward, preprocess, tile, n, iou_thres, max_total,
             else jnp.zeros_like(flat["labels"])
         )
         return _global_stitch_nms(
-            flat, labels_for_nms, iou_thres, max_total, mask_uint8
+            flat, labels_for_nms, iou_thres, max_total, mask_uint8,
+            max_band=max_band,
         )
 
     return run
 
 
-@functools.partial(jax.jit, static_argnames=("max_total", "mask_uint8"))
+@functools.partial(jax.jit, static_argnames=("max_total", "mask_uint8",
+                                             "max_band"))
 def _global_stitch_nms(flat, labels_for_nms, iou_thres, max_total,
-                       mask_uint8=False):
-    """Device-side top-K + class-aware NMS + row gather over the stitched set.
+                       mask_uint8=False, max_band=1024):
+    """Device-side stitch: band-limited cross-tile NMS + top-K row gather.
 
-    Returns the output dict gathered to ``max_total`` rows in keep order, so
-    the caller fetches only the final result (never the full padded tile set).
+    Per-tile NMS already ran inside the forward, so cross-tile suppression
+    only exists among detections flagged ``band`` (boxes touching a shared
+    overlap band — see ``_band_flags``): the quadratic NMS runs over the
+    top-``max_band`` band detections instead of the whole ``max_total``
+    stitched set (16× fewer IoU pairs at the defaults), interior detections
+    pass through untouched, and the final top-``max_total`` gather is
+    score-ordered.  Without a ``band`` key (caller opted out / different
+    thresholds per pass) the legacy full global NMS runs.  Returns the
+    gathered output dict; the caller fetches only these rows.
     """
     boxes, scores, valid = flat["boxes"], flat["scores"], flat["valid"]
-    masked = jnp.where(valid, scores, -jnp.inf)
-    k = min(max_total, boxes.shape[0])
-    _, sel = jax.lax.top_k(masked, k)
-    idx, keep = batched_nms_padded(
-        jnp.take(boxes, sel, axis=0),
-        jnp.take(masked, sel),
-        jnp.maximum(jnp.take(labels_for_nms, sel), 0),
-        jnp.take(valid, sel),
-        iou_thres,
-        max_det=k,
-    )
-    rows = jnp.take(sel, idx)
-    gathered = {k_: jnp.take(v, rows, axis=0) for k_, v in flat.items()}
-    gathered["valid"] = keep & gathered["valid"]
+    band = flat.pop("band", None)
+    K = boxes.shape[0]
+    if band is None:
+        masked = jnp.where(valid, scores, -jnp.inf)
+        k = min(max_total, K)
+        _, sel = jax.lax.top_k(masked, k)
+        idx, keep = batched_nms_padded(
+            jnp.take(boxes, sel, axis=0),
+            jnp.take(masked, sel),
+            jnp.maximum(jnp.take(labels_for_nms, sel), 0),
+            jnp.take(valid, sel),
+            iou_thres,
+            max_det=k,
+        )
+        rows = jnp.take(sel, idx)
+        gathered = {k_: jnp.take(v, rows, axis=0) for k_, v in flat.items()}
+        gathered["valid"] = keep & gathered["valid"]
+    else:
+        band = band & valid
+        kb = min(max_band, K)
+        band_score = jnp.where(band, scores, -jnp.inf)
+        _, selb = jax.lax.top_k(band_score, kb)
+        idxb, keepb = batched_nms_padded(
+            jnp.take(boxes, selb, axis=0),
+            jnp.take(band_score, selb),
+            jnp.maximum(jnp.take(labels_for_nms, selb), 0),
+            jnp.take(band, selb),
+            iou_thres,
+            max_det=kb,
+        )
+        # band rows beyond the max_band capacity are dropped (like max_total).
+        # max-scatter: idxb pads unused slots with duplicate indices whose
+        # keep=False — .set would let them race the real True write
+        band_kept = jnp.zeros((K,), bool).at[jnp.take(selb, idxb)].max(keepb)
+        kept = (valid & ~band) | band_kept
+        k = min(max_total, K)
+        _, sel = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
+        gathered = {k_: jnp.take(v, sel, axis=0) for k_, v in flat.items()}
+        gathered["valid"] = jnp.take(kept, sel)
     if "mask_valid" in gathered:
         gathered["mask_valid"] = gathered["mask_valid"] & gathered["valid"]
     if mask_uint8 and "masks" in gathered:

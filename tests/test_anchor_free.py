@@ -118,3 +118,62 @@ def test_anchor_free_head_end_to_end(rng):
     lab = np.asarray(out["labels"])
     v = np.asarray(out["valid"])
     assert np.all(lab[~v] == -100)
+
+
+@pytest.mark.slow
+def test_anchor_free_overfit_recovers_box(rng):
+    """Learning evidence (VERDICT r3 #6): SimOTA + the decoupled head can
+    actually fit — one synthetic box is recovered at IoU>0.5 with the right
+    label after a short Adam overfit (mirrors the FCOS overfit test;
+    reference anchor: loss_yolov6.py:126-520 training path)."""
+    import optax
+
+    head = AnchorFreeDetect(
+        nc=2, strides=(8.0, 16.0, 32.0), width=16, pre_nms_topk=64,
+        nms_params=(("conf_thres", 0.05), ("iou_thres", 0.45), ("max_det", 5)),
+    )
+    feats = [
+        jnp.asarray(rng.uniform(0, 1, (1, 16 >> i, 16 >> i, 16)).astype(np.float32))
+        for i in range(3)
+    ]
+    gt_px = np.asarray([[24.0, 24.0, 88.0, 88.0]])
+    targets = {
+        "boxes": jnp.asarray(gt_px[None] / 128.0),
+        "labels": jnp.asarray([[1]]),
+        "valid": jnp.ones((1, 1), bool),
+    }
+    variables = head.init(jax.random.PRNGKey(0), feats, targets, train=True)
+    tx = optax.adam(5e-3)
+    opt = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, bstats, opt):
+        def loss_fn(p):
+            (l, _), mut = head.apply({"params": p, "batch_stats": bstats},
+                                     feats, targets, train=True,
+                                     mutable=["batch_stats"])
+            return l["det_loss"], mut["batch_stats"]
+        (loss, bstats2), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(g, opt)
+        return optax.apply_updates(params, upd), bstats2, opt, loss
+
+    params, bstats = variables["params"], variables["batch_stats"]
+    first = None
+    for _ in range(500):
+        params, bstats, opt, loss = step(params, bstats, opt)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.5, (first, float(loss))
+
+    _, out = head.apply({"params": params, "batch_stats": bstats}, feats,
+                        train=False)
+    v = np.asarray(out["valid"][0])
+    assert v.any(), "no detections after overfit"
+    best = np.asarray(out["boxes"][0])[0]
+    x1 = max(best[0], gt_px[0, 0]); y1 = max(best[1], gt_px[0, 1])
+    x2 = min(best[2], gt_px[0, 2]); y2 = min(best[3], gt_px[0, 3])
+    inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+    a1 = (best[2] - best[0]) * (best[3] - best[1])
+    a2 = (gt_px[0, 2] - gt_px[0, 0]) * (gt_px[0, 3] - gt_px[0, 1])
+    assert inter / (a1 + a2 - inter) > 0.5, best
+    assert int(np.asarray(out["labels"][0])[0]) == 1

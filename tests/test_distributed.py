@@ -91,6 +91,29 @@ _WORKER = textwrap.dedent("""
         loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
     print(f"proc {pid}: loss={loss:.4f}", flush=True)
+
+    # rank-0-gated checkpoint + all-process restore (train.py:529-547 save
+    # gating; resume must hand every process identical params)
+    from hd_yolo_tpu.engines.checkpoint import restore_train_state, save_checkpoint
+    ckpt_dir = os.environ["HDYOLO_SMOKE_CKPT"]
+    # orbax saves are collective — every process calls save; the meta sidecar
+    # and tensorstore writes are rank-gated inside the checkpointer
+    save_checkpoint(ckpt_dir, state, epoch=1, best_fitness=loss)
+    multihost_utils.sync_global_devices("ckpt-written")
+    # the post-step state provides the restore structure template (donation
+    # may have deleted the pre-step buffers that `variables` aliased)
+    restored, meta = restore_train_state(ckpt_dir, state)
+    assert int(meta["epoch"]) == 1
+    same = jax.tree.reduce(
+        lambda a, b: a and b,
+        jax.tree.map(lambda a, b: bool(jnp.allclose(a, b, atol=1e-7)),
+                     restored.params, state.params), True)
+    assert same, "restored params differ from saved state"
+    csum = float(jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a: jnp.sum(jnp.abs(a.astype(jnp.float32))),
+                     restored.params)))
+    print(f"proc {pid}: ckpt_csum={csum:.6f}", flush=True)
 """)
 
 
@@ -110,6 +133,7 @@ def test_two_process_train_step(tmp_path):
             "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(pid),
+            "HDYOLO_SMOKE_CKPT": str(tmp_path / "ckpt"),
         })
         env.pop("JAX_PLATFORMS", None)
         procs.append(subprocess.Popen(
@@ -127,3 +151,7 @@ def test_two_process_train_step(tmp_path):
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]
     assert l0 == l1, (l0, l1)
+    # both processes restored the rank-0 checkpoint to identical params
+    c0 = outs[0].split("ckpt_csum=")[1].split()[0]
+    c1 = outs[1].split("ckpt_csum=")[1].split()[0]
+    assert c0 == c1, (c0, c1)

