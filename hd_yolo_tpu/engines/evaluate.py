@@ -98,7 +98,11 @@ def inference_on_loader(
     total_time, n_images = 0.0, 0
     for images, orig_sizes in data_iter:
         t0 = time.time()
-        x = jnp.asarray(images, jnp.float32)
+        x = jnp.asarray(images)
+        if jnp.issubdtype(x.dtype, jnp.integer):  # raw uint8 loader batches
+            x = x.astype(jnp.float32) / 255.0
+        else:
+            x = x.astype(jnp.float32)
         if x.shape[1] != input_size or x.shape[2] != input_size:
             x = jax.image.resize(
                 x, (x.shape[0], input_size, input_size, x.shape[-1]), "bilinear"

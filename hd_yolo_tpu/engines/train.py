@@ -204,6 +204,39 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
                         drop_last=process_count > 1, shard=shard)
     steps_per_epoch = max(len(train_dl), 1)
 
+    if main_proc and getattr(opt, "plots", False):
+        # dataset display dumps at train start (ref train.py:303-308) +
+        # label statistics (plot_labels, ref engines/plots.py:341-386)
+        from .plots import plot_labels, save_detection_overlay
+
+        disp = os.path.join(save_dir, "display_dataset")
+        meta0 = next(iter((data_info.get("meta_info") or {}).values()), {})
+        rows = []
+        for di in range(min(len(val_ds), 16)):
+            s = val_ds[di]
+            for task, t in s["targets"].items():
+                v = np.asarray(t["valid"])
+                save_detection_overlay(
+                    os.path.join(disp, f"val_{di:04d}.png"),
+                    np.asarray(s["image"], np.uint8),
+                    {"boxes": np.asarray(t["boxes"])[v] * opt.img_size,
+                     "labels": np.asarray(t["labels"])[v]},
+                    meta=meta0)
+                break
+        for di in range(min(len(train_ds), 128)):
+            for t in train_ds[di]["targets"].values():
+                v = np.asarray(t["valid"])
+                b = np.asarray(t["boxes"])[v]          # normalized xyxy
+                if len(b):
+                    xywh = np.stack([(b[:, 0] + b[:, 2]) / 2,
+                                     (b[:, 1] + b[:, 3]) / 2,
+                                     b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], 1)
+                    rows.append(np.concatenate(
+                        [np.asarray(t["labels"])[v][:, None], xywh], 1))
+                break
+        if rows:
+            plot_labels(np.concatenate(rows), save_dir=save_dir)
+
     # init model/optimizer — inside the mesh so multi-process init produces
     # global (replicated) arrays; every process runs the identical program
     mesh = auto_mesh(opt.batch_size)
@@ -482,6 +515,15 @@ def train(opt, callbacks: Optional[Callbacks] = None) -> Dict[str, float]:
 
     wait_for_saves()  # drain in-flight async checkpoint writes
     save_inference(os.path.join(save_dir, "final"), state)  # collective
+    if main_proc and getattr(opt, "plots", False):
+        from .plots import plot_results
+
+        rj = os.path.join(save_dir, "results.json")
+        if os.path.exists(rj):
+            try:
+                plot_results(rj)
+            except Exception as e:   # observability must never fail training
+                LOGGER.warning(f"plot_results failed: {e}")
     callbacks.run("on_train_end")
     return {"best_fitness": best_fitness, **final_stats}
 
@@ -549,6 +591,9 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", choices=["sgd", "adam", "adamw"],
                    default="sgd", help="reference --optimizer choice")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--plots", action="store_true",
+                   help="dataset display dumps + labels.jpg at train start, "
+                        "results.png at train end (ref train.py:303-308)")
     p.add_argument("--autoanchor", action="store_true",
                    help="report anchor BPR fit on the val set before training")
     p.add_argument("--freeze", nargs="*", default=[],

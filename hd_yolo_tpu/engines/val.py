@@ -144,7 +144,14 @@ def run(
     for images, targets in data_iter:
         dt[0] += time.time() - t_last
         t0 = time.time()
-        images_j = jax.numpy.asarray(images, dtype=jax.numpy.float32)
+        # the loader ships raw uint8 tiles (4× less H2D — dataset.py:370);
+        # normalize them here since the blind float32 cast would hand the
+        # model 0..255 floats its integer-dtype normalization never sees
+        images_j = jax.numpy.asarray(images)
+        if jax.numpy.issubdtype(images_j.dtype, jax.numpy.integer):
+            images_j = images_j.astype(jax.numpy.float32) / 255.0
+        else:
+            images_j = images_j.astype(jax.numpy.float32)
         if input_size is not None and images_j.shape[1] != input_size:
             images_j = jax.image.resize(
                 images_j,

@@ -36,30 +36,49 @@ def soft_iou_loss(probs: Array, onehot: Array, eps: float = 1e-6) -> Array:
 
 
 class PanopticSegHead(nn.Module):
-    """Panoptic-FPN semantic segmentation header."""
+    """Panoptic-FPN semantic segmentation header.
+
+    ``scale_factor`` mirrors the reference's pre-softmax bilinear upsample
+    (panoptic_seg.py:14-21: Upsample(scale_factor) → 1×1 conv → softmax):
+    the class map is predicted FINER than the fused feature grid, which is
+    what makes few-cell structures (nuclei at 10× power are 1-2 stride-16
+    cells) segmentable at all.  The loss also follows the reference in
+    resizing the prediction to the target's resolution before scoring
+    (panoptic_seg.py:37-40 interpolate-to-mask-size), so GT can be supplied
+    at any stride.
+    """
 
     num_classes: int
     channels: int = 128
+    scale_factor: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self,
         feats: Sequence[Array],
-        targets: Optional[Array] = None,   # (B, H, W) int labels at output stride
+        targets: Optional[Array] = None,   # (B, H, W) int labels, any stride
         train: bool = False,
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
         x = PanopticFeatureConnector(self.channels, dtype=self.dtype, name="connector")(
             feats, train
         )
+        if self.scale_factor and self.scale_factor != 1:
+            B, H, W, C = x.shape
+            x = jax.image.resize(
+                x, (B, H * self.scale_factor, W * self.scale_factor, C),
+                "bilinear")
         logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="logits")(x)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         losses: Dict[str, Array] = {}
         if targets is not None:
-            th, tw = probs.shape[1:3]
-            tgt = targets[:, :th, :tw]
-            onehot = jax.nn.one_hot(tgt, self.num_classes)
-            losses["seg_loss"] = soft_iou_loss(probs, onehot)
+            th, tw = targets.shape[1:3]
+            p = probs
+            if p.shape[1:3] != (th, tw):
+                p = jax.image.resize(p, (p.shape[0], th, tw, p.shape[-1]),
+                                     "bilinear")
+            onehot = jax.nn.one_hot(targets, self.num_classes)
+            losses["seg_loss"] = soft_iou_loss(p, onehot)
         return losses, {"probs": probs, "logits": logits}
 
 

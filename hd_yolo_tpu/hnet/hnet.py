@@ -175,6 +175,7 @@ class HNet(nn.Module):
                 headers[task_id] = PanopticSegHead(
                     num_classes=h["num_classes"],
                     channels=h.get("channels", 128),
+                    scale_factor=int(h.get("scale_factor", 1)),
                     dtype=self.dtype,
                     name=f"header_{task_id}",
                 )

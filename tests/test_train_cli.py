@@ -44,13 +44,17 @@ def test_train_cli_end_to_end(tmp_path):
             "--epochs", "2", "--batch-size", "2", "--img-size", "128",
             "--patch-size", "96", "--masks", "--no-bf16", "--workers", "2",
             "--max-targets", "16", "--mask-rois", "4", "--max-masks", "8",
-            "--save-dir", save_dir,
+            "--save-dir", save_dir, "--plots",
         ]
     )
     result = train(opt)
     assert "best_fitness" in result
     assert os.path.isdir(os.path.join(save_dir, "last"))
     assert os.path.isdir(os.path.join(save_dir, "final"))
+    # --plots observability artifacts (ref train.py:303-308 + plots.py)
+    assert os.path.isfile(os.path.join(save_dir, "labels.jpg"))
+    assert os.path.isfile(os.path.join(save_dir, "results.png"))
+    assert os.listdir(os.path.join(save_dir, "display_dataset"))
     lines = open(os.path.join(save_dir, "results.json")).read().strip().splitlines()
     assert len(lines) == 2
     row = json.loads(lines[-1])

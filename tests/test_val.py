@@ -46,3 +46,33 @@ def test_val_run_end_to_end():
     assert "det" in stats
     assert set(stats["det"]) >= {"mp", "mr", "f1", "map50", "map", "fitness"}
     assert len(times) == 3
+
+
+@pytest.mark.slow
+def test_val_run_uint8_matches_float():
+    """The loader ships raw uint8 tiles; val must normalize them to the same
+    inputs a float [0,1] batch produces.  Regression: a blind float32 cast
+    handed the model 0..255 floats and zeroed every engine-loop val."""
+    m = Model.from_cfg("yolov5s-test", "hyp-nuclei", mask_rois=4, max_masks=8,
+                       pre_nms_topk=64)
+    rng = np.random.default_rng(0)
+    x = jnp.zeros((2, 128, 128, 3))
+    targets = make_targets(rng, 2, 8, 4)
+    variables = m.init(jax.random.PRNGKey(0), x, targets, train=True,
+                       compute_masks=True)
+
+    imgs8 = np.random.default_rng(1).integers(
+        0, 256, (2, 128, 128, 3)).astype(np.uint8)
+    tg = jax.tree.map(np.asarray, make_targets(np.random.default_rng(2), 2, 8, 4))
+    meta = {"det": {"labels_text": {1: "a", 2: "b", 3: "c", 4: "d"}}}
+    runs = {}
+    for name, imgs in (("uint8", imgs8),
+                       ("float", imgs8.astype(np.float32) / 255.0)):
+        fit, stats, _ = val_engine.run(
+            m, variables, iter([(imgs, tg)]), meta_info=meta, verbose=False)
+        runs[name] = (fit, stats)
+    assert runs["uint8"][0] == pytest.approx(runs["float"][0], abs=1e-6)
+    s8 = runs["uint8"][1]["det"]
+    sf = runs["float"][1]["det"]
+    for k in s8:
+        assert s8[k] == pytest.approx(sf[k], abs=1e-6), k

@@ -107,6 +107,46 @@ def main():
     print(json.dumps({k: results[k] for k in results if k.startswith("rest")}),
           flush=True)
 
+    # ---- 3. /v1/slide on a synthetic multi-tile slide (serving.py:81-86)
+    slide_px = args.img + args.img // 2   # forces a 2x2 tile grid
+    simg = np.full((slide_px, slide_px, 3), 230, np.uint8)
+    simg += rng.integers(-12, 12, simg.shape).astype(np.uint8)
+    from tools.flagship_train_check import CLASS_AXES, CLASS_COLORS
+
+    gt = 0
+    for _ in range(60):
+        c = int(rng.integers(1, 5))
+        ax, ay = CLASS_AXES[c]
+        cx = int(rng.integers(ax + 2, slide_px - ax - 2))
+        cy = int(rng.integers(ay + 2, slide_px - ay - 2))
+        poly = cv2.ellipse2Poly((cx, cy), (ax, ay),
+                                int(rng.integers(0, 180)), 0, 360, 12)
+        cv2.fillPoly(simg, [poly], CLASS_COLORS[c])
+        gt += 1
+    ok, spng = cv2.imencode(".png", cv2.cvtColor(simg, cv2.COLOR_RGB2BGR))
+    assert ok
+    sbody = (f"--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="image"; filename="slide.png"\r\n'
+             f"Content-Type: image/png\r\n\r\n").encode() + spng.tobytes() + \
+        f"\r\n--{boundary}--\r\n".encode()
+    sreq = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/slide", data=sbody,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    urllib.request.urlopen(sreq, timeout=900).read()   # compile
+    t0 = time.time()
+    sresp = json.loads(urllib.request.urlopen(sreq, timeout=900).read())
+    results["slide_latency_s"] = round(time.time() - t0, 3)
+    srows = sresp if isinstance(sresp, list) else sresp.get("predictions", sresp)
+    results["slide_px"] = slide_px
+    results["slide_gt_nuclei"] = gt
+    results["slide_n_rows"] = len(srows)
+    if srows:
+        # records must be in SLIDE coordinates: some box beyond one tile
+        assert any(max(r.get("xmax", 0), r.get("ymax", 0)) > args.img
+                   for r in srows), "no detection beyond the first tile"
+    print(json.dumps({k: results[k] for k in results
+                      if k.startswith("slide")}), flush=True)
+
     Path(args.out).write_text(json.dumps(results, indent=2))
     print(f"wrote {args.out}", flush=True)
 
