@@ -77,11 +77,14 @@ def main():
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") != "0" else jnp.float32
 
     # Occupancy packing (BENCH_BUDGET=0 disables): the mask branch pools+heads
-    # a global top-512 cross-batch ROI budget instead of all B×100 slots.
-    # Exact-output at realistic occupancy (nuclei tiles carry ~30-50 dets/img;
-    # 16×32 < 512 — evidence: OCCUPANCY.json); worst case drops masks of the
-    # lowest-scored detections beyond 512, like max_det caps keeps.
-    budget = int(os.environ.get("BENCH_BUDGET", 512)) or None
+    # a global top-768 cross-batch ROI budget instead of all B×100 slots.
+    # 768 = measured realistic occupancy + margin: the trained flagship on
+    # 40-nuclei tiles carries ≤746 mask-eligible detections per batch-16
+    # (46.6/img — OCCUPANCY.json), so nothing is dropped there; worst case
+    # drops masks of the lowest-scored detections beyond the budget, like
+    # max_det caps keeps.  Measured: 678.7 tiles/s @512, 622.9 @768,
+    # 564.2 @1024, 505.0 legacy B×100.
+    budget = int(os.environ.get("BENCH_BUDGET", 768)) or None
     spec = parse_model_cfg("yolov5l6-mask", "hyp-nuclei")
     model = Model(spec=spec, dtype=dtype, max_masks=100, pre_nms_topk=1024,
                   mask_budget=budget if compute_masks else None)

@@ -90,7 +90,10 @@ class Detector:
         self.input_size = input_size
         self.labels_text = labels_text or {}
         if weights:
-            self.variables = load_inference(weights)
+            # pin params to device once: load_inference returns HOST arrays,
+            # and jit would re-upload the full ~0.3 GB flagship tree through
+            # the tunnel on EVERY call (measured 11-27 s/request in serving)
+            self.variables = jax.device_put(load_inference(weights))
         else:
             x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
             self.variables = jax.jit(

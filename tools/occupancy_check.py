@@ -62,13 +62,20 @@ def main():
         mv_r = np.asarray(r["mask_valid"])
         mv_p = np.asarray(p["mask_valid"])
         counts.append(int(mv_r.sum()))
-        assert (mv_r == mv_p).all(), "packed mask_valid differs"
-        d = float(np.abs(np.asarray(r["masks"])[mv_r]
-                         - p["masks"][mv_r]).max()) if mv_r.any() else 0.0
+        # packed keeps ⊆ eligible, and when over budget only the
+        # LOWEST-scored eligible detections lose masks
+        assert not (~mv_r & mv_p).any(), "packed grew mask_valid"
+        dropped = mv_r & ~mv_p
+        sc = np.asarray(r["scores"])[:, :mv_r.shape[1]]
+        if dropped.any() and mv_p.any():
+            assert sc[dropped].max() <= sc[mv_p].min() + 1e-6, \
+                "non-lowest-score detection lost its mask"
+        d = float(np.abs(np.asarray(r["masks"])[mv_p]
+                         - p["masks"][mv_p]).max()) if mv_p.any() else 0.0
         match_max = max(match_max, d)
         print(f"batch {bi}: eligible={counts[-1]} / budget={args.budget} "
               f"(per-img mean {counts[-1]/args.batch:.1f}), "
-              f"max|Δmask|={d:.2e}", flush=True)
+              f"dropped={int(dropped.sum())}, max|Δmask|={d:.2e}", flush=True)
 
     row = {
         "batch": args.batch,
@@ -77,6 +84,7 @@ def main():
         "eligible_per_batch": counts,
         "eligible_max": max(counts),
         "exact_under_budget": max(counts) <= args.budget,
+        "dropped_at_budget": max(0, max(counts) - args.budget),
         "max_abs_mask_diff": match_max,
         "weights": str(Path(args.run) / "final"),
     }
