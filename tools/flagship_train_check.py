@@ -30,12 +30,15 @@ CLASS_COLORS = {  # class → mean BGR-ish stain color
 CLASS_AXES = {1: (22, 18), 2: (26, 10), 3: (10, 9), 4: (16, 14)}
 
 
-def render_tile(rng, img_size: int, nuclei_per_tile: int, class_probs=None):
+def render_tile(rng, img_size: int, nuclei_per_tile: int, class_probs=None,
+                axes_scale: float = 1.0):
     """One synthetic H&E tile: (img uint8 RGB, boxes, labels, polys).
 
     ``class_probs`` optionally biases the per-nucleus class draw (length-4,
     classes 1..4) — used by the hnet check to make its tile-level label
-    learnable; None keeps the historical uniform draw."""
+    learnable; None keeps the historical uniform draw.  ``axes_scale``
+    scales the nucleus ellipse axes (the train-off uses larger nuclei so a
+    CPU-feasible budget converges on both stacks)."""
     import cv2
 
     img = np.full((img_size, img_size, 3), 230, np.uint8)
@@ -45,8 +48,8 @@ def render_tile(rng, img_size: int, nuclei_per_tile: int, class_probs=None):
         c = (int(rng.choice(4, p=class_probs)) + 1 if class_probs is not None
              else int(rng.integers(1, 5)))
         ax, ay = CLASS_AXES[c]
-        ax = max(int(ax * rng.uniform(0.8, 1.25)), 4)
-        ay = max(int(ay * rng.uniform(0.8, 1.25)), 4)
+        ax = max(int(ax * axes_scale * rng.uniform(0.8, 1.25)), 4)
+        ay = max(int(ay * axes_scale * rng.uniform(0.8, 1.25)), 4)
         cx = int(rng.integers(ax + 2, img_size - ax - 2))
         cy = int(rng.integers(ay + 2, img_size - ay - 2))
         ang = int(rng.integers(0, 180))

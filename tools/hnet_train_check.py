@@ -44,7 +44,7 @@ def build_split(seed: int, n_images: int, img_size: int, nuclei: int):
     labels = np.zeros((n_images, MAX_T), np.int32)
     valid = np.zeros((n_images, MAX_T), bool)
     masks = np.zeros((n_images, MAX_T, 28, 28), np.float32)
-    seg = np.zeros((n_images, img_size // 4, img_size // 4), np.int32)
+    seg = np.zeros((n_images, img_size // 16, img_size // 16), np.int32)
     cl = np.zeros((n_images,), np.int32)
     for i in range(n_images):
         # per-tile dominant class (60% of draws) so the cl5x tile label is
@@ -71,8 +71,7 @@ def build_split(seed: int, n_images: int, img_size: int, nuclei: int):
                 masks[i, j] = (cv2.resize(
                     crop.astype(np.float32), (28, 28),
                     interpolation=cv2.INTER_LINEAR) > 0.5)
-        seg[i] = tissue[2::4, 2::4]  # stride-4 GT: the header's
-        # scale_factor=4 upsample predicts at this grid (panoptic_seg.py:14-21)
+        seg[i] = tissue[8::16, 8::16]  # stride-16 GT (shipped joint recipe)
         counts = np.bincount([l for l in lbs], minlength=5)
         cl[i] = min(int(np.argmax(counts[1:])), 2)
     targets = {

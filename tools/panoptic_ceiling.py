@@ -30,6 +30,109 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def ours(args):
+    """Same experiment with THIS repo's PanopticSegHead: identical tiles,
+    stride-4 GT, an equivalent small learnable pyramid (strides 16/32/64 of
+    the 40x frame), single-task — isolates the header from the hnet
+    multi-task interaction."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+
+    from hd_yolo_tpu.hnet.heads import PanopticSegHead
+    from tools.hnet_train_check import build_split
+
+    imgs_tr, t_tr = build_split(0, args.n_train, args.img_size, args.nuclei)
+    imgs_va, t_va = build_split(1, args.n_val, args.img_size, args.nuclei)
+    seg_tr = t_tr["seg10x"]["seg_map"]
+    seg_va = t_va["seg10x"]["seg_map"]
+
+    class Pyramid(nn.Module):
+        c: int = 64
+
+        @nn.compact
+        def __call__(self, x10):
+            def blk(x, s, name):
+                x = nn.Conv(self.c, (3, 3), strides=(s, s), padding="SAME",
+                            name=f"{name}_conv")(x)
+                x = nn.GroupNorm(num_groups=8, name=f"{name}_gn")(x)
+                return jax.nn.relu(x)
+            a = blk(x10, 4, "s4")
+            b = blk(a, 2, "s8")
+            c = blk(b, 2, "s16")
+            return [a, b, c]
+
+    class SegNet(nn.Module):
+        @nn.compact
+        def __call__(self, x10, targets=None):
+            feats = Pyramid(name="pyramid")(x10)
+            return PanopticSegHead(num_classes=5, channels=64,
+                                   scale_factor=4, name="head")(feats, targets)
+
+    net = SegNet()
+    x_tr = jax.image.resize(
+        jnp.asarray(imgs_tr, jnp.float32) / 255.0,
+        (args.n_train, args.img_size // 4, args.img_size // 4, 3), "bilinear")
+    y_tr = jnp.asarray(seg_tr)
+    variables = net.init(jax.random.PRNGKey(0), x_tr[:1], y_tr[:1])
+    tx = optax.adam(args.lr)
+    opt = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt, xb, yb):
+        def loss_fn(p):
+            losses, _ = net.apply({"params": p}, xb, yb)
+            return losses["seg_loss"]
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    rng = np.random.default_rng(0)
+    params = variables["params"]
+    t0 = time.time()
+    for it in range(args.steps):
+        sel = rng.integers(0, args.n_train, args.batch)
+        params, opt, loss = step(params, opt, x_tr[sel], y_tr[sel])
+        if it % 50 == 0:
+            print(f"step {it}: seg_loss={float(loss):.4f}", flush=True)
+    train_s = time.time() - t0
+
+    x_va = jax.image.resize(
+        jnp.asarray(imgs_va, jnp.float32) / 255.0,
+        (args.n_val, args.img_size // 4, args.img_size // 4, 3), "bilinear")
+    _, out = jax.jit(lambda p, x: net.apply({"params": p}, x))(params, x_va)
+    pred = np.argmax(np.asarray(out["probs"]), -1)
+    inter = np.zeros(5)
+    union = np.zeros(5)
+    for j in range(args.n_val):
+        pj, gt = pred[j], seg_va[j]
+        if pj.shape != gt.shape:
+            import cv2
+
+            pj = cv2.resize(pj.astype(np.uint8), gt.shape[::-1],
+                            interpolation=cv2.INTER_NEAREST)
+        for c in range(5):
+            inter[c] += np.sum((pj == c) & (gt == c))
+            union[c] += np.sum((pj == c) | (gt == c))
+    present = union > 0
+    miou = float(np.mean(inter[present] / union[present]))
+    row = {
+        "source": "hd_yolo_tpu PanopticSegHead (scale_factor=4), same tiles/"
+                  "GT/pyramid-shape as the reference leg, single-task",
+        "steps": args.steps, "batch": args.batch,
+        "seg_miou": round(miou, 4),
+        "per_class_iou": [round(float(i / u), 4) if u else None
+                          for i, u in zip(inter, union)],
+        "train_s": round(train_s, 1),
+    }
+    print(json.dumps(row, indent=2), flush=True)
+    out_p = Path(args.out)
+    existing = json.loads(out_p.read_text()) if out_p.exists() else {}
+    existing["ours_panoptic_seg_head"] = row
+    out_p.write_text(json.dumps(existing, indent=2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-train", type=int, default=16)
@@ -40,7 +143,11 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--out", default="PANOPTIC_CEILING.json")
+    ap.add_argument("--ours", action="store_true",
+                    help="run the jax-side single-task leg instead")
     args = ap.parse_args()
+    if args.ours:
+        return ours(args)
 
     from hd_yolo_tpu.utils.reference_oracle import enable_reference
 

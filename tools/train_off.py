@@ -88,8 +88,8 @@ def gen(args):
     for split, (n, rng) in splits.items():
         ours_rows, meta_csv_rows = [], []
         for i in range(n):
-            img, boxes, labels, polys = render_tile(rng, args.imgsz,
-                                                    args.nuclei)
+            img, boxes, labels, polys = render_tile(
+                rng, args.imgsz, args.nuclei, axes_scale=args.nucleus_scale)
             name = f"{split}_{i:04d}"
             bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
 
@@ -267,6 +267,7 @@ def ours_train(args):
     from hd_yolo_tpu.engines.train import argument_parser, train
 
     root = Path(args.dir)
+    run_dir = root / args.run_name
     opt = argument_parser().parse_args([
         "--data", str(root / "ours" / "data.yaml"),
         "--cfg", str(root / "ours_model.yaml"), "--hyp", "hyp-nuclei",
@@ -277,7 +278,7 @@ def ours_train(args):
         "--cache-images", "--val-interval", str(max(args.epochs // 8, 1)),
         "--save-interval", str(max(args.epochs // 8, 1)),
         "--nominal-batch-size", str(args.batch_size),
-        "--save-dir", str(root / "ours_run"),
+        "--save-dir", str(run_dir),
     ])
     t0 = time.time()
     result = train(opt)
@@ -285,14 +286,15 @@ def ours_train(args):
 
     from hd_yolo_tpu.engines.checkpoint import load_inference
 
-    ev = load_inference(str(root / "ours_run" / "final"))
-    with open(root / "ours_run" / "final_vars.pkl", "wb") as f:
+    ev = load_inference(str(run_dir / "final"))
+    with open(run_dir / "final_vars.pkl", "wb") as f:
         pickle.dump({k: jax.tree.map(np.asarray, v) for k, v in ev.items()}, f)
     row = {"epochs": args.epochs, "batch_size": args.batch_size,
            "imgsz": args.imgsz, "wall_s": wall,
            **{k: float(v) for k, v in result.items()
               if isinstance(v, (int, float))}}
-    (root / "ours_train.json").write_text(json.dumps(row, indent=2))
+    (root / f"{args.run_name.replace('_run', '')}_train.json").write_text(
+        json.dumps(row, indent=2))
     print(json.dumps({"ours_train": row}), flush=True)
 
 
@@ -300,9 +302,13 @@ def ours_train(args):
 # phase: evaluate
 # --------------------------------------------------------------------------
 
-def _ref_eval(root: Path, key: str, ckpt_path: str, batch_size: int):
+def _ref_eval(root: Path, key: str, ckpt_path: str, batch_size: int,
+              conf: float = 0.15):
     """Score a checkpoint through the reference's own deployed eval flow
-    (evaluation.py:153-245, eager Deploy for the mask path)."""
+    (evaluation.py:153-245, eager Deploy for the mask path).  ``conf``
+    rides the reference's own transfer_cfgs→get_nms_params override
+    (evaluation.py:49-57) — both sides of the train-off are scored at the
+    same threshold."""
     import pandas as pd
     import torch.jit as _jit
 
@@ -323,6 +329,8 @@ def _ref_eval(root: Path, key: str, ckpt_path: str, batch_size: int):
         export_folder=str(root / "eval_export" / key),
         device="cpu", half=False, batch_size=batch_size,
         compute_masks=True, meta_info=meta_info,
+        transfer_cfgs={"headers": {"det": {
+            "nms_params": {"conf_thres": conf}}}},
         core_labels=["tumor", "stromal", "sTILs"],
         label_converter={},
     )
@@ -334,7 +342,8 @@ def _ref_eval(root: Path, key: str, ckpt_path: str, batch_size: int):
             "time_per_image_s": float(s["time_per_image"])}
 
 
-def _our_val(root: Path, variables, imgsz: int, batch_size: int):
+def _our_val(root: Path, variables, imgsz: int, batch_size: int,
+             conf: float = 0.15):
     """Score params through this repo's val engine (box + mask fitness)."""
     from hd_yolo_tpu.config import load_cfg, load_dataset_info
     from hd_yolo_tpu.data.dataset import DataLoader, DetectionDataset
@@ -342,8 +351,12 @@ def _our_val(root: Path, variables, imgsz: int, batch_size: int):
     from hd_yolo_tpu.models import Model
 
     info = load_dataset_info(str(root / "ours" / "data_fullval.yaml"))
+    hyp = load_cfg("hyp-nuclei")
+    for k in hyp:
+        if isinstance(hyp[k], dict) and "conf_thres" in hyp[k]:
+            hyp[k]["conf_thres"] = conf
     model = Model.from_cfg(str(root / "ours_model.yaml"),
-                           load_cfg("hyp-nuclei"), max_masks=64, mask_rois=32)
+                           hyp, max_masks=64, mask_rois=32)
     vds = DetectionDataset(info["val"], {"img_size": imgsz}, train=False,
                            max_targets=64)
     vdl = DataLoader(vds, batch_size, workers=4, shuffle=False,
@@ -400,7 +413,7 @@ def evaluate(args):
     if ref_best.exists():
         out["ref_trained_ref_eval"] = _ref_eval(root, "reftr",
                                                 str(ref_best),
-                                                args.batch_size)
+                                                args.batch_size, args.conf)
     if ours_pkl.exists():
         from hd_yolo_tpu.utils.export_torch import load_any_into_reference
 
@@ -410,20 +423,44 @@ def evaluate(args):
         torch.save({"model": ref_model}, ck)
         out["tpu_trained_ref_eval"] = {
             "tensors_loaded": int(n_hit),
-            **_ref_eval(root, "tputr", str(ck), args.batch_size)}
+            **_ref_eval(root, "tputr", str(ck), args.batch_size, args.conf)}
+
+    # equal-WALL-CLOCK leg: ours trained for the reference's wall budget
+    wall_pkl = root / "ours_wall_run" / "final_vars.pkl"
+    if wall_pkl.exists():
+        from hd_yolo_tpu.utils.export_torch import load_any_into_reference
+        from hd_yolo_tpu.utils.reference_oracle import load_reference_model as _lrm
+
+        ref_model_w = _lrm(cfg=yaml.safe_load(open(root / "ref_model.yaml")))
+        load_any_into_reference(ref_model_w, str(wall_pkl))
+        ref_model_w.float().eval()
+        ckw = root / "ours_wall_as_ref.ckpt.pt"
+        torch.save({"model": ref_model_w}, ckw)
+        out["tpu_wallclock_ref_eval"] = _ref_eval(
+            root, "tpuwall", str(ckw), args.batch_size, args.conf)
+        wf = root / "ours_wall_train.json"
+        if wf.exists():
+            out["ours_wall_train"] = json.loads(wf.read_text())
 
     # leg C/D: both checkpoints through THIS repo's val engine
     if ours_pkl.exists():
         with open(ours_pkl, "rb") as f:
             ev = pickle.load(f)
         out["tpu_trained_our_val"] = _our_val(root, ev, args.imgsz,
-                                              args.batch_size)
+                                              args.batch_size, args.conf)
     if ref_best.exists():
         from hd_yolo_tpu.utils.import_torch import load_torch_weights
 
         variables = load_torch_weights(str(ref_best), our_model.spec)
         out["ref_trained_our_val"] = _our_val(root, variables, args.imgsz,
-                                              args.batch_size)
+                                              args.batch_size, args.conf)
+    if wall_pkl.exists():
+        import pickle as _pk
+
+        with open(wall_pkl, "rb") as f:
+            evw = _pk.load(f)
+        out["tpu_wallclock_our_val"] = _our_val(root, evw, args.imgsz,
+                                                args.batch_size, args.conf)
 
     (Path(__file__).resolve().parent.parent / "TRAINOFF.json").write_text(
         json.dumps(out, indent=2))
@@ -441,9 +478,19 @@ def main():
                     help="training-time val tiles (final eval uses all n-val)")
     ap.add_argument("--imgsz", type=int, default=320)
     ap.add_argument("--nuclei", type=int, default=40)
+    ap.add_argument("--nucleus-scale", type=float, default=1.0,
+                    help="ellipse axes multiplier (larger nuclei converge "
+                         "at CPU-feasible budgets)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=80)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--conf", type=float, default=0.05,
+                    help="shared eval conf threshold (both stacks; the "
+                         "deploy default 0.15 hides sub-threshold models "
+                         "at small train budgets)")
+    ap.add_argument("--run-name", default="ours_run",
+                    help="ours-train output dir name (equal-wall-clock legs "
+                         "use a second run)")
     ap.add_argument("--noval", action="store_true",
                     help="reference leg: val only on the final epoch")
     args = ap.parse_args()
