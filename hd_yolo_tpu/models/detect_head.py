@@ -369,12 +369,19 @@ class Detect(nn.Module):
             b_idx, self.spec.strides, M,
             window=int(self.mask_window or 16),
         )                                    # (K, M, M, C)
-        logits = self.mask_head(pooled)
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         lab_k = jnp.clip(mask_labels.reshape(B * R)[top_i], 0)
-        sel = jnp.take_along_axis(
-            probs, lab_k[:, None, None, None], axis=-1
-        )[..., 0] * sel_ok[:, None, None]    # (K, 28, 28)
+        if self._fused_mask_head_ok():
+            from ..ops.pallas_mask_head import fused_mask_probs
+
+            sel = fused_mask_probs(
+                self.mask_head.variables["params"], pooled, lab_k)
+        else:
+            logits = self.mask_head(pooled)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            sel = jnp.take_along_axis(
+                probs, lab_k[:, None, None, None], axis=-1
+            )[..., 0]
+        sel = sel * sel_ok[:, None, None]    # (K, 28, 28)
 
         S = self.mask_output_size
         masks = jnp.zeros((B, R, S, S), sel.dtype).at[b_idx, r_idx].set(sel)

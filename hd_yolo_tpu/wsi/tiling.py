@@ -153,17 +153,19 @@ def slide_inference(
     pad = (-n) % batch
     origins_p = np.concatenate([origins, np.tile(origins[-1:], (pad, 1))]) if pad else origins
     slide = jnp.asarray(slide)
+    b_y, b_x = _band_widths(origins, tile, overlap, band_margin)
 
     mask_uint8 = mask_uint8 and not mask_bits  # bitpack reads probabilities
     if fused:
         runner = _fused_runner(
             forward, preprocess, tile, n, float(iou_thres), max_total,
             class_aware_nms, mask_uint8, forward_vars is None,
-            (H, W, overlap, band_margin) if band_limit else None, max_band,
+            (H, W, b_y, b_x) if band_limit else None, max_band,
         )
         origins_b = jnp.asarray(origins_p.reshape(-1, batch, 2))
         gathered = runner(slide, origins_b, forward_vars)
-        return _fetch_gathered(gathered, mask_bits, packed_fetch)
+        return _warn_band_saturation(
+            _fetch_gathered(gathered, mask_bits, packed_fetch), max_band)
 
     call = (lambda t: forward(forward_vars, t)) if forward_vars is not None else forward
 
@@ -177,7 +179,7 @@ def slide_inference(
         chunk = _shift_and_pad(call(tiles), ob)
         if band_limit:
             chunk["band"] = _band_flags(chunk["boxes"], ob, H, W, tile,
-                                        overlap, band_margin)
+                                        b_y, b_x)
         chunks.append(chunk)
 
     merged = {
@@ -196,30 +198,70 @@ def slide_inference(
     # padded per-tile set first (the pre-round-3 flow) moved ~4x the bytes
     # host-side for the same result — on a remote-attached chip that transfer
     # dominated the whole pipeline.
-    return _fetch_gathered(gathered, mask_bits, packed_fetch)
+    return _warn_band_saturation(
+        _fetch_gathered(gathered, mask_bits, packed_fetch), max_band)
+
+
+def _band_widths(origins: np.ndarray, tile: int, overlap: int,
+                 margin: int) -> Tuple[float, float]:
+    """Per-axis band width (b_y, b_x) from the ACTUAL grid geometry.
+
+    ``sliding_window_grid`` snaps the last row/col inward, so the effective
+    overlap between the last two tiles along an axis is ``tile − Δ`` where
+    ``Δ`` is their origin delta — up to ``tile − 1`` px, far wider than the
+    nominal ``overlap``.  Band-NMS ≡ full-NMS needs the two tiles' trimmed
+    interiors to be spatially disjoint, i.e. ``b ≥ (tile − Δ_min)/2``; we use
+    the conservative ``max(overlap, tile − Δ_min) + margin`` (the regular-grid
+    value when no snap occurs).  Non-adjacent pairs have larger Δ and are
+    never binding.
+    """
+    out = []
+    for ax in (0, 1):
+        vs = np.unique(origins[:, ax])
+        d = int(np.diff(vs).min()) if len(vs) > 1 else tile
+        out.append(float(max(overlap, tile - d) + margin))
+    return out[0], out[1]
+
+
+def _warn_band_saturation(host: Dict[str, np.ndarray], max_band: int
+                          ) -> Dict[str, np.ndarray]:
+    """Pop the band-population diagnostic and warn when the band top-K
+    saturated (band detections beyond ``max_band`` are dropped outright —
+    raise the knob or the grid is too dense for band-limited stitching)."""
+    count = host.pop("band_count", None)
+    if count is not None and count.size and int(count.flat[0]) >= max_band:
+        import warnings
+
+        warnings.warn(
+            f"slide_inference: band population {int(count.flat[0])} hit the "
+            f"max_band={max_band} capacity; detections past the top-"
+            f"{max_band} band scores were DROPPED. Raise max_band "
+            f"(~n_band_tiles × max_det) or disable band_limit.",
+            RuntimeWarning, stacklevel=3)
+    return host
 
 
 def _band_flags(boxes_slide: Array, ob: Array, H: int, W: int, tile: int,
-                overlap: int, margin: int = 32) -> Array:
+                b_y: float, b_x: float) -> Array:
     """(B, D) bool: detection may interact with another tile's detections.
 
     Per-tile NMS survivors are mutually below the IoU threshold, and a box
     that stays inside its tile's non-shared core cannot intersect any box
     from another tile (their areas are disjoint) — so cross-tile suppression
-    is only possible for boxes touching the shared bands.  The band is
-    ``overlap + margin`` px from any tile edge that has a neighbor (slide
-    borders have none); ``margin`` absorbs boxes whose regression extends
-    past their tile's bounds.  Exactness: global-NMS ≡ interior ∪
-    NMS(band) whenever both passes use the same iou threshold
-    (tests/test_wsi_preproc.py pins the equivalence).
+    is only possible for boxes touching the shared bands.  The band widths
+    come from ``_band_widths`` (actual grid deltas, incl. the snapped last
+    row/col) and apply to any tile edge that has a neighbor (slide borders
+    have none); the margin term absorbs boxes whose regression extends past
+    their tile's bounds.  Exactness: global-NMS ≡ interior ∪ NMS(band)
+    whenever both passes use the same iou threshold
+    (tests/test_wsi_preproc.py pins the equivalence, incl. snapped grids).
     """
-    b = float(overlap + margin)
     y0 = ob[:, 0:1].astype(jnp.float32)
     x0 = ob[:, 1:2].astype(jnp.float32)
-    lo_y = y0 + jnp.where(y0 > 0, b, 0.0)
-    hi_y = y0 + tile - jnp.where(y0 + tile < H, b, 0.0)
-    lo_x = x0 + jnp.where(x0 > 0, b, 0.0)
-    hi_x = x0 + tile - jnp.where(x0 + tile < W, b, 0.0)
+    lo_y = y0 + jnp.where(y0 > 0, b_y, 0.0)
+    hi_y = y0 + tile - jnp.where(y0 + tile < H, b_y, 0.0)
+    lo_x = x0 + jnp.where(x0 > 0, b_x, 0.0)
+    hi_x = x0 + tile - jnp.where(x0 + tile < W, b_x, 0.0)
     bx = boxes_slide.astype(jnp.float32)
     interior = (
         (bx[..., 0] >= lo_x) & (bx[..., 2] <= hi_x)
@@ -352,9 +394,9 @@ def _fused_runner(forward, preprocess, tile, n, iou_thres, max_total,
             out = forward(tiles) if no_vars else forward(fvars, tiles)
             chunk = _shift_and_pad(out, ob)
             if band_cfg is not None:
-                H, W, overlap, margin = band_cfg
+                H, W, b_y, b_x = band_cfg
                 chunk["band"] = _band_flags(chunk["boxes"], ob, H, W, tile,
-                                            overlap, margin)
+                                            b_y, b_x)
             return carry, chunk
 
         _, chunks = jax.lax.scan(body, None, origins_b)
@@ -434,6 +476,10 @@ def _global_stitch_nms(flat, labels_for_nms, iou_thres, max_total,
         _, sel = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
         gathered = {k_: jnp.take(v, sel, axis=0) for k_, v in flat.items()}
         gathered["valid"] = jnp.take(kept, sel)
+        # band-population diagnostic (broadcast to rows so packed_fetch can
+        # carry it); host side warns + pops it (_warn_band_saturation)
+        gathered["band_count"] = jnp.full(
+            (k,), jnp.sum(band, dtype=jnp.int32), jnp.int32)
     if "mask_valid" in gathered:
         gathered["mask_valid"] = gathered["mask_valid"] & gathered["valid"]
     if mask_uint8 and "masks" in gathered:

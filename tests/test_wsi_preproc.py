@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from hd_yolo_tpu.wsi import sliding_window_grid, extract_tiles, slide_inference
 from hd_yolo_tpu.data.preproc import (
@@ -290,14 +291,18 @@ def test_slide_inference_fused_matches_streaming(rng):
     )
 
 
-def test_band_limited_stitch_matches_full_nms(rng):
+@pytest.mark.parametrize("H,W", [(320, 416), (300, 410)])
+def test_band_limited_stitch_matches_full_nms(rng, H, W):
     """Band-limited stitching (NMS only over overlap-band detections) must
     reproduce the full global NMS exactly: per-tile survivors are mutually
     below the threshold and interior boxes cannot intersect other tiles'
-    boxes (wsi/tiling._band_flags invariant)."""
+    boxes (wsi/tiling._band_flags invariant).  The (300, 410) case is NOT
+    stride-aligned: sliding_window_grid snaps the last row/col inward, the
+    effective overlap between the last two tiles exceeds the nominal one,
+    and the band width must widen to match (ADVICE r4 high)."""
     from hd_yolo_tpu.wsi.tiling import sliding_window_grid
 
-    tile, overlap, H, W = 128, 32, 320, 416
+    tile, overlap = 128, 32
     grid = sliding_window_grid(H, W, tile, overlap)
     # per-tile detections on a 40px lattice of 24px boxes (mutual IoU 0
     # within a tile; lattice-aligned across tiles -> exact duplicates in the
@@ -353,3 +358,39 @@ def test_band_limited_stitch_matches_full_nms(rng):
 
     assert rows(full) == rows(banded)
     assert banded["valid"].sum() > 10  # non-trivial scene
+
+
+def test_band_limit_snapped_grid_duplicate_suppressed():
+    """ADVICE r4 high repro: tile=256, overlap=32, H=300 → the snapped last
+    row origin is 44, so the two tiles share a 212px strip; a duplicate box
+    deep inside both tiles' nominal (overlap+margin) interiors used to bypass
+    the band NMS and get kept twice.  The geometry-derived band width must
+    suppress it exactly like full NMS."""
+    tile, overlap, H, W = 256, 32, 300, 256
+    box = np.asarray([100.0, 150.0, 140.0, 190.0])  # slide coords, in both
+    D = 4
+
+    def forward(tiles):
+        B = tiles.shape[0]
+        bx = np.zeros((B, D, 4), np.float32)
+        sc = np.zeros((B, D), np.float32)
+        lb = np.ones((B, D), np.int32)
+        va = np.zeros((B, D), bool)
+        origins = [(0, 0), (44, 0)]
+        for j in range(min(B, 2)):
+            y0, x0 = origins[j]
+            bx[j, 0] = box - np.asarray([x0, y0, x0, y0])
+            sc[j, 0] = 0.9 - 0.1 * j
+            va[j, 0] = True
+        return {"boxes": jnp.asarray(bx), "scores": jnp.asarray(sc),
+                "labels": jnp.asarray(lb), "valid": jnp.asarray(va)}
+
+    slide = jnp.zeros((H, W, 3))
+    kw = dict(tile=tile, overlap=overlap, batch=2, max_total=64)
+    full = slide_inference(forward, slide, band_limit=False, **kw)
+    banded = slide_inference(forward, slide, band_limit=True, **kw)
+    assert int(full["valid"].sum()) == 1
+    assert int(banded["valid"].sum()) == 1
+    kept = banded["boxes"][banded["valid"]]
+    np.testing.assert_allclose(kept[0], box, atol=1e-4)
+    assert float(banded["scores"][banded["valid"]][0]) == pytest.approx(0.9)
