@@ -30,6 +30,8 @@ _REPEAT_INSERT = {"BottleneckCSP", "C3", "C3TR", "C3Ghost"}
 _ALIASES = {
     "nn.Upsample": "Upsample",
     "nn.BatchNorm2d": "BatchNorm2d",
+    "nn.MaxPool2d": "MaxPool2d",
+    "nn.ZeroPad2d": "ZeroPad2d",
 }
 
 LOSS_KEYS = (
@@ -89,9 +91,76 @@ class NetworkSpec:
     ch_in: int = 3
 
 
+def _layer_stride_factor(m: str, args: Sequence[Any]) -> float:
+    """Spatial downsample factor a single layer applies (1 = keeps size)."""
+    m = _ALIASES.get(m, m)
+    if m in ("Conv", "DWConv", "GhostConv", "CrossConv", "MixConv2d",
+             "GhostBottleneck"):
+        return float(args[2]) if len(args) > 2 else 1.0
+    if m == "Focus":
+        return 2.0
+    if m == "Contract":
+        return float(args[0])
+    if m == "Expand":
+        return 1.0 / float(args[0])
+    if m == "Upsample":
+        return 1.0 / float(args[1]) if len(args) > 1 and args[1] else 1.0
+    if m == "MaxPool2d":
+        return float(args[1]) if len(args) > 1 else float(args[0])
+    return 1.0
+
+
+def normalize_legacy_cfg(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Ultralytics-format hub yaml → the reference's reworked 3-section schema.
+
+    The reference repo ships 22 hub configs still in the upstream format
+    (single ``head:`` section, Detect args ``[nc, anchors]``, no strides);
+    its own ``build_network`` (yolov5.py:80-161) only accepts the reworked
+    ``backbone/fpn/headers`` layout with Detect args
+    ``[anchors, strides, nc, masks]``.  This converts: the ``head`` rows
+    before Detect become ``fpn``, Detect rows become ``headers``, and the
+    per-level strides are inferred by propagating the cumulative spatial
+    downsample factor through the layer graph (upstream computes them with
+    a probe forward at build time).
+    """
+    import copy
+
+    cfg = copy.deepcopy(dict(cfg))
+    head = list(cfg.pop("head"))
+    rows = list(cfg["backbone"]) + head
+    strides: List[float] = []
+    fpn, headers = [], []
+    for i, row in enumerate(rows):
+        f, n, m, args = row[0], row[1], row[2], list(row[3])
+        res = [cfg[a] if isinstance(a, str) and a in cfg else a for a in args]
+        if m == "Detect":
+            fl = [x if x >= 0 else i + x for x in f]
+            det_strides = [int(round(strides[x])) for x in fl]
+            nc, anchors = res[0], res[1]
+            # upstream Detect has no mask branch; the reworked Detect treats
+            # an empty dict as "generic mask for every class" (yolo_head.py
+            # :94-95), so spell out the all-ignore mapping explicitly
+            no_masks = {cl: -1 for cl in range(int(nc) + 1)}
+            headers.append(
+                [fl, n, "Detect", [anchors, det_strides, int(nc), no_masks],
+                 "det"])
+            strides.append(float(det_strides[-1]))
+            continue
+        fi = (f[0] if isinstance(f, (list, tuple)) else f)
+        prev = 1.0 if i == 0 else strides[fi if fi >= 0 else i + fi]
+        strides.append(prev * _layer_stride_factor(m, res))
+        if i >= len(cfg["backbone"]):
+            fpn.append(row)
+    cfg["fpn"], cfg["headers"] = fpn, headers
+    cfg.setdefault("ch", 3)  # the reference build_network requires the key
+    return cfg
+
+
 def parse_model_cfg(cfg, hyp) -> NetworkSpec:
     """Parse a model YAML + hyp YAML into a NetworkSpec (yolov5.py:80-161 semantics)."""
     cfg = load_cfg(cfg)
+    if "head" in cfg and "headers" not in cfg:
+        cfg = normalize_legacy_cfg(cfg)
     hyp = load_cfg(hyp) if hyp is not None else {}
     gd, gw = cfg["depth_multiple"], cfg["width_multiple"]
     ch: List[int] = [cfg.get("ch", 3)]
@@ -200,6 +269,13 @@ def parse_model_cfg(cfg, hyp) -> NetworkSpec:
         else:
             c2 = ch[f]
 
+        # resolve negative refs other than -1 ("previous") to absolute indices
+        # (legacy rows like yolov3-tiny's ``[-2, 1, Conv, ...]``; the
+        # reference resolves these through its save-list modulo, yolov5.py:150)
+        if isinstance(f, (list, tuple)):
+            f = [j if j == -1 else j % i for j in f]
+        elif f != -1:
+            f = f % i
         layers.append(
             LayerSpec(
                 index=i, from_idx=_freeze(f) if isinstance(f, (list, tuple)) else f,

@@ -528,6 +528,35 @@ class Upsample(nn.Module):
         return jax.image.resize(x, (b, h * self.scale, w * self.scale, c), method=self.method)
 
 
+class MaxPool2d(nn.Module):
+    """``nn.MaxPool2d`` rows in legacy hub configs (yolov3-tiny backbone).
+
+    torch semantics: kernel ``k``, stride ``s``, symmetric padding ``p``
+    (pad value −inf so padded cells never win).
+    """
+
+    kernel: int = 2
+    stride: int = 2
+    padding: int = 0
+
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        k, s, p = int(self.kernel), int(self.stride), int(self.padding)
+        return nn.max_pool(
+            x, (k, k), strides=(s, s), padding=[(p, p), (p, p)]
+        )
+
+
+class ZeroPad2d(nn.Module):
+    """``nn.ZeroPad2d`` rows in legacy hub configs: (left, right, top, bottom)
+    spatial zero-padding, NHWC."""
+
+    pads: Tuple[int, int, int, int] = (0, 0, 0, 0)
+
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        l, r, t, b = (int(v) for v in self.pads)
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
 class BatchNorm2d(nn.Module):
     """Standalone BatchNorm row (yolov5.py:133-134)."""
 

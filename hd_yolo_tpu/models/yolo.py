@@ -49,8 +49,10 @@ _MODULES = {
     "Upsample": L.Upsample,
     "BatchNorm2d": L.BatchNorm2d,
     "MixConv2d": L.MixConv2d,
+    "MaxPool2d": L.MaxPool2d,
+    "ZeroPad2d": L.ZeroPad2d,
 }
-_NO_DTYPE = {"Contract", "Expand", "Concat", "Upsample"}
+_NO_DTYPE = {"Contract", "Expand", "Concat", "Upsample", "MaxPool2d", "ZeroPad2d"}
 
 
 class Model(nn.Module):
