@@ -18,7 +18,7 @@ slides — each chip streams its sub-grid through the same program.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +111,8 @@ def slide_inference(
     max_band: int = 1024,
     mask_bits: bool = False,
     packed_fetch: bool = True,
+    mask_rows: Optional[int] = 1024,
+    row_keys: Optional[Sequence[str]] = None,
 ) -> Dict[str, np.ndarray]:
     """Run tiled inference over a slide and stitch detections globally.
 
@@ -141,8 +143,19 @@ def slide_inference(
       mask_bits: return masks THRESHOLDED at 0.5 and bit-packed on device —
         host masks come back as bool (K, S, S).  Lossless for the paste
         product path; 32× less transfer than float probabilities.
-      packed_fetch: fetch all per-row outputs as one device buffer instead
-        of one transfer per key (remote chips charge ~29 ms per fetch).
+      packed_fetch: fetch ALL outputs (rows + masks) as ONE flat device
+        buffer → one dispatch + one transfer total (remote chips charge
+        ~29 ms per dispatch AND per fetch; the pre-round-5 flow paid 4×).
+      mask_rows: device-side mask-row compaction capacity: only the top-K
+        mask-carrying rows' masks are fetched ((K, S, S) instead of
+        (max_total, S, S)); the host re-expands via an index column so the
+        returned dict is unchanged.  Rows beyond the capacity lose
+        ``mask_valid`` (lowest scores first, like ``mask_budget``).
+        None disables compaction.
+      row_keys: optional whitelist of per-row output keys to stitch + fetch
+        (e.g. the paste product path needs only boxes/scores/labels/valid
+        (+ masks); dropping ``score_vector``/``multi_labels`` halves the
+        row payload).  Core keys are always kept.
 
     Returns dict of host arrays: boxes (slide coords), scores, labels, valid
     (+ masks/mask_valid when the forward provides them).
@@ -154,6 +167,8 @@ def slide_inference(
     origins_p = np.concatenate([origins, np.tile(origins[-1:], (pad, 1))]) if pad else origins
     slide = jnp.asarray(slide)
     b_y, b_x = _band_widths(origins, tile, overlap, band_margin)
+    keep = (None if row_keys is None
+            else frozenset(row_keys) | {"boxes", "scores", "labels", "valid"})
 
     mask_uint8 = mask_uint8 and not mask_bits  # bitpack reads probabilities
     if fused:
@@ -161,6 +176,7 @@ def slide_inference(
             forward, preprocess, tile, n, float(iou_thres), max_total,
             class_aware_nms, mask_uint8, forward_vars is None,
             (H, W, b_y, b_x) if band_limit else None, max_band,
+            mask_rows, keep,
         )
         origins_b = jnp.asarray(origins_p.reshape(-1, batch, 2))
         gathered = runner(slide, origins_b, forward_vars)
@@ -176,7 +192,7 @@ def slide_inference(
         tiles = extract_tiles(slide, ob, tile)
         if preprocess is not None:
             tiles = preprocess(tiles)
-        chunk = _shift_and_pad(call(tiles), ob)
+        chunk = _shift_and_pad(_filter_keys(call(tiles), keep), ob)
         if band_limit:
             chunk["band"] = _band_flags(chunk["boxes"], ob, H, W, tile,
                                         b_y, b_x)
@@ -192,7 +208,7 @@ def slide_inference(
     )
     gathered = _global_stitch_nms(
         flat, labels_for_nms, iou_thres, max_total, mask_uint8,
-        max_band=max_band,
+        max_band=max_band, max_mask_rows=mask_rows,
     )
     # One fetch of the final (max_total, ...) rows only.  Fetching the full
     # padded per-tile set first (the pre-round-3 flow) moved ~4x the bytes
@@ -270,6 +286,16 @@ def _band_flags(boxes_slide: Array, ob: Array, H: int, W: int, tile: int,
     return ~interior
 
 
+def _filter_keys(out: Dict[str, Array], keep) -> Dict[str, Array]:
+    """Apply the ``row_keys`` whitelist (None = keep everything).  ``masks``
+    ride along only when explicitly whitelisted (they dominate the payload);
+    ``mask_valid`` follows ``masks``."""
+    if keep is None:
+        return out
+    return {k: v for k, v in out.items()
+            if k in keep or (k == "mask_valid" and "masks" in keep)}
+
+
 def _shift_and_pad(out: Dict[str, Array], ob: Array) -> Dict[str, Array]:
     """Shift per-tile boxes into slide coords; pad capacity-short keys.
 
@@ -297,11 +323,27 @@ def _shift_and_pad(out: Dict[str, Array], ob: Array) -> Dict[str, Array]:
 _PACK_SKIP = ("masks",)
 
 
-@jax.jit
-def _pack_rows_jit(rest: Dict[str, Array]) -> Array:
-    return jnp.concatenate(
+@functools.partial(jax.jit, static_argnames=("mask_bits",))
+def _pack_all_jit(rest: Dict[str, Array], masks: Optional[Array],
+                  mask_bits: bool) -> Array:
+    """Pack per-row keys AND the mask payload into ONE flat f32 buffer so a
+    single dispatch + single host transfer fetches everything (the tunnel
+    charges ~29 ms fixed for each)."""
+    parts = [jnp.concatenate(
         [rest[k].reshape(rest[k].shape[0], -1).astype(jnp.float32)
-         for k in sorted(rest)], axis=1)
+         for k in sorted(rest)], axis=1).ravel()]
+    if masks is not None:
+        if mask_bits:
+            masks = _bitpack_masks(masks)         # (K, S·S/8) uint8
+        if masks.dtype == jnp.uint8:              # bitpacked or quantized
+            mb = masks.reshape(masks.shape[0], -1)
+            pad = (-mb.shape[-1]) % 4
+            mb = jnp.pad(mb, ((0, 0), (0, pad)))
+            parts.append(jax.lax.bitcast_convert_type(
+                mb.reshape(mb.shape[0], -1, 4), jnp.float32).ravel())
+        else:
+            parts.append(masks.astype(jnp.float32).ravel())
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
 _bitpack_jit = None  # set below (needs _bitpack_masks defined first)
@@ -310,8 +352,8 @@ _bitpack_jit = None  # set below (needs _bitpack_masks defined first)
 def _fetch_gathered(gathered, mask_bits: bool, packed_fetch: bool
                     ) -> Dict[str, np.ndarray]:
     """Bring the stitched rows to host with as few tunnel round-trips as
-    possible: one packed f32 buffer for all per-row keys (+ one bit-packed
-    or raw buffer for masks)."""
+    possible: rows + masks in one flat f32 buffer (one dispatch, one
+    transfer), then host-side unpack + mask-slot re-expansion."""
     global _bitpack_jit
     if not packed_fetch:
         out = dict(gathered)
@@ -322,26 +364,46 @@ def _fetch_gathered(gathered, mask_bits: bool, packed_fetch: bool
             out["masks"] = _bitunpack_masks(
                 np.asarray(_bitpack_jit(out["masks"])), side)
             rest = {k: np.asarray(v) for k, v in out.items() if k != "masks"}
-            return {**rest, "masks": out["masks"]}
-        return jax.tree.map(np.asarray, out)
+            return _expand_mask_slots({**rest, "masks": out["masks"]})
+        return _expand_mask_slots(jax.tree.map(np.asarray, out))
     masks = gathered.get("masks")
     rest = {k: v for k, v in gathered.items() if k not in _PACK_SKIP}
     layout = tuple(
         (k, int(np.prod(rest[k].shape[1:])) if rest[k].ndim > 1 else 1,
          str(rest[k].dtype), tuple(rest[k].shape[1:]))
         for k in sorted(rest))
-    packed = _pack_rows_jit(rest)
-    if masks is not None and mask_bits:
-        if _bitpack_jit is None:
-            _bitpack_jit = jax.jit(_bitpack_masks)
-        masks_dev = _bitpack_jit(masks)
-    else:
-        masks_dev = masks
-    host = _unpack_rows(np.asarray(packed), layout)
+    n_rows = rest["boxes"].shape[0]
+    row_w = sum(w for _, w, _, _ in layout)
+    flat = np.asarray(_pack_all_jit(rest, masks, mask_bits))  # ONE fetch
+    host = _unpack_rows(flat[: n_rows * row_w].reshape(n_rows, row_w), layout)
     if masks is not None:
-        m = np.asarray(masks_dev)
-        host["masks"] = (_bitunpack_masks(m, masks.shape[-1])
-                         if mask_bits else m)
+        side = masks.shape[-1]
+        K = masks.shape[0]
+        tail = flat[n_rows * row_w:]
+        if mask_bits or masks.dtype == jnp.uint8:
+            w_bytes = side * side // 8 if mask_bits else side * side
+            w_pad = w_bytes + ((-w_bytes) % 4)
+            mb = tail.reshape(K, w_pad // 4).view(np.uint8)[:, :w_bytes]
+            host["masks"] = (_bitunpack_masks(np.ascontiguousarray(mb), side)
+                             if mask_bits else
+                             np.ascontiguousarray(mb).reshape(K, side, side))
+        else:
+            host["masks"] = tail.reshape(K, side, side)
+    return _expand_mask_slots(host)
+
+
+def _expand_mask_slots(host: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Re-expand device-compacted masks: ``mask_slot`` maps each stitched row
+    to its row in the compact fetched mask array (−1 = no mask)."""
+    slot = host.pop("mask_slot", None)
+    if slot is None or "masks" not in host:
+        return host
+    slot = np.rint(np.asarray(slot)).astype(np.int64)
+    compact = host["masks"]
+    full = np.zeros((slot.shape[0],) + compact.shape[1:], compact.dtype)
+    ok = slot >= 0
+    full[ok] = compact[slot[ok]]
+    host["masks"] = full
     return host
 
 
@@ -377,7 +439,8 @@ def _bitunpack_masks(packed: np.ndarray, side: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _fused_runner(forward, preprocess, tile, n, iou_thres, max_total,
-                  class_aware_nms, mask_uint8, no_vars, band_cfg, max_band):
+                  class_aware_nms, mask_uint8, no_vars, band_cfg, max_band,
+                  max_mask_rows=None, keep_keys=None):
     """Build (and cache) the one-dispatch fused slide-inference program."""
 
     @jax.jit
@@ -392,7 +455,7 @@ def _fused_runner(forward, preprocess, tile, n, iou_thres, max_total,
             if preprocess is not None:
                 tiles = preprocess(tiles)
             out = forward(tiles) if no_vars else forward(fvars, tiles)
-            chunk = _shift_and_pad(out, ob)
+            chunk = _shift_and_pad(_filter_keys(out, keep_keys), ob)
             if band_cfg is not None:
                 H, W, b_y, b_x = band_cfg
                 chunk["band"] = _band_flags(chunk["boxes"], ob, H, W, tile,
@@ -414,16 +477,16 @@ def _fused_runner(forward, preprocess, tile, n, iou_thres, max_total,
         )
         return _global_stitch_nms(
             flat, labels_for_nms, iou_thres, max_total, mask_uint8,
-            max_band=max_band,
+            max_band=max_band, max_mask_rows=max_mask_rows,
         )
 
     return run
 
 
 @functools.partial(jax.jit, static_argnames=("max_total", "mask_uint8",
-                                             "max_band"))
+                                             "max_band", "max_mask_rows"))
 def _global_stitch_nms(flat, labels_for_nms, iou_thres, max_total,
-                       mask_uint8=False, max_band=1024):
+                       mask_uint8=False, max_band=1024, max_mask_rows=None):
     """Device-side stitch: band-limited cross-tile NMS + top-K row gather.
 
     Per-tile NMS already ran inside the forward, so cross-tile suppression
@@ -486,4 +549,21 @@ def _global_stitch_nms(flat, labels_for_nms, iou_thres, max_total,
         gathered["masks"] = jnp.round(
             jnp.clip(gathered["masks"], 0.0, 1.0) * 255.0
         ).astype(jnp.uint8)
+    if ("masks" in gathered and max_mask_rows is not None
+            and max_mask_rows < gathered["masks"].shape[0]):
+        # mask-row compaction: only ≤ mask_budget rows carry a mask, so fetch
+        # the top-K mask rows + a per-row slot index instead of a dense
+        # (max_total, S, S) buffer; the host re-expands losslessly while the
+        # capacity holds (rows past it lose mask_valid, lowest scores first)
+        mv = gathered.get("mask_valid", gathered["valid"])
+        k_rows = gathered["boxes"].shape[0]
+        Km = min(max_mask_rows, k_rows)
+        prio = jnp.where(mv, gathered["scores"].astype(jnp.float32), -jnp.inf)
+        _, msel = jax.lax.top_k(prio, Km)
+        slot = jnp.full((k_rows,), -1, jnp.int32).at[msel].set(
+            jnp.arange(Km, dtype=jnp.int32))
+        keep_m = mv & (slot >= 0)
+        gathered["masks"] = jnp.take(gathered["masks"], msel, axis=0)
+        gathered["mask_slot"] = jnp.where(keep_m, slot, -1)
+        gathered["mask_valid"] = keep_m
     return gathered

@@ -31,46 +31,22 @@ def _to_roi_format(boxes: Union[Tensor, List[Tensor]]) -> Tensor:
     return torch.cat(out, dim=0)
 
 
-def _bilinear_gather(feat: Tensor, batch_idx: Tensor, ys: Tensor, xs: Tensor) -> Tensor:
-    """feat (N,C,H,W); ys (K,Sy); xs (K,Sx) -> (K, C, Sy, Sx) bilinear samples.
+def _roi_align_fixed_grid(feat: Tensor, rois: Tensor, ph: int, pw: int,
+                          scale: float, gh: int, gw: int, aligned: bool) -> Tensor:
+    """All ROIs share one (gh, gw) sampling grid -> fully vectorized.
 
     Torchvision's sampling rule is border-clamped bilinear with exact zero
     for points outside (-1, H)/(-1, W) — identical to
     ``grid_sample(padding_mode='border', align_corners=False)`` times an
     in-range mask (a clamped point interpolates the border pixel either
-    way).  grid_sample's C++ kernel is ~100× the speed of broadcast fancy
-    indexing on CPU, which used to dominate the reference's whole train step
-    (the mask path pools every matched candidate, yolo_head.py:243)."""
-    N, C, H, W = feat.shape
-    K, Sy = ys.shape
-    Sx = xs.shape[1]
-    valid = ((ys > -1.0) & (ys < float(H)))[:, :, None] & \
-            ((xs > -1.0) & (xs < float(W)))[:, None, :]
-    # normalized sample-center coords (align_corners=False convention)
-    gy = (ys + 0.5) * (2.0 / H) - 1.0              # (K, Sy)
-    gx = (xs + 0.5) * (2.0 / W) - 1.0              # (K, Sx)
-    out = torch.empty((K, C, Sy, Sx), dtype=feat.dtype, device=feat.device)
-    for n in torch.unique(batch_idx):
-        sel = torch.where(batch_idx == n)[0]
-        k = sel.numel()
-        # pack this image's ROIs along the output-H axis: one grid_sample
-        grid = torch.stack(
-            [gx[sel][:, None, :].expand(k, Sy, Sx),
-             gy[sel][:, :, None].expand(k, Sy, Sx)], dim=-1
-        ).reshape(1, k * Sy, Sx, 2)
-        v = torch.nn.functional.grid_sample(
-            feat[int(n): int(n) + 1], grid, mode="bilinear",
-            padding_mode="border", align_corners=False,
-        )                                          # (1, C, k*Sy, Sx)
-        out[sel] = v.reshape(C, k, Sy, Sx).transpose(0, 1)
-    if bool(valid.all()):   # train-path GT boxes never leave the image
-        return out
-    return out * valid[:, None].to(out.dtype)
-
-
-def _roi_align_fixed_grid(feat: Tensor, rois: Tensor, ph: int, pw: int,
-                          scale: float, gh: int, gw: int, aligned: bool) -> Tensor:
-    """All ROIs share one (gh, gw) sampling grid -> fully vectorized."""
+    way).  Per image, all ROIs pack along the output-H axis into ONE
+    grid_sample call, and the per-bin sample average is a strided
+    ``avg_pool2d`` (each ROI block spans ph·gh rows, so pooling windows
+    never straddle ROIs).  Both ops have native C++ forward AND backward —
+    the previous 6-D reshape+mean formulation materialized the full sample
+    tensor in autograd and its backward dominated the reference's whole
+    CPU train step (the mask path pools every matched candidate,
+    yolo_head.py:243)."""
     K = rois.shape[0]
     offset = 0.5 if aligned else 0.0
     batch_idx = rois[:, 0].long()
@@ -90,20 +66,42 @@ def _roi_align_fixed_grid(feat: Tensor, rois: Tensor, ph: int, pw: int,
     py = torch.arange(ph, device=feat.device, dtype=feat.dtype)
     px = torch.arange(pw, device=feat.device, dtype=feat.dtype)
     # (K, ph, gh) / (K, pw, gw) sample coordinates
-    ys = y1[:, None, None] + py[None, :, None] * bin_h[:, None, None] \
-        + (iy[None, None, :] + 0.5) * (bin_h[:, None, None] / gh)
-    xs = x1[:, None, None] + px[None, :, None] * bin_w[:, None, None] \
-        + (ix[None, None, :] + 0.5) * (bin_w[:, None, None] / gw)
-    C = feat.shape[1]
-    out = torch.zeros((K, C, ph, pw), dtype=feat.dtype, device=feat.device)
-    chunk = max(1, 32_000_000 // max(1, C * ph * gh * pw * gw))
-    for s in range(0, K, chunk):
-        e = min(s + chunk, K)
-        v = _bilinear_gather(feat, batch_idx[s:e],
-                             ys[s:e].reshape(e - s, ph * gh),
-                             xs[s:e].reshape(e - s, pw * gw))
-        v = v.reshape(e - s, C, ph, gh, pw, gw)
-        out[s:e] = v.mean(dim=(3, 5))
+    ys = (y1[:, None, None] + py[None, :, None] * bin_h[:, None, None]
+          + (iy[None, None, :] + 0.5) * (bin_h[:, None, None] / gh)
+          ).reshape(K, ph * gh)
+    xs = (x1[:, None, None] + px[None, :, None] * bin_w[:, None, None]
+          + (ix[None, None, :] + 0.5) * (bin_w[:, None, None] / gw)
+          ).reshape(K, pw * gw)
+    N, C, H, W = feat.shape
+    Sy, Sx = ph * gh, pw * gw
+    valid = ((ys > -1.0) & (ys < float(H)))[:, :, None] & \
+            ((xs > -1.0) & (xs < float(W)))[:, None, :]
+    all_valid = bool(valid.all())  # train-path GT boxes never leave the image
+    # normalized sample-center coords (align_corners=False convention)
+    gy = (ys + 0.5) * (2.0 / H) - 1.0              # (K, Sy)
+    gx = (xs + 0.5) * (2.0 / W) - 1.0              # (K, Sx)
+    out = torch.empty((K, C, ph, pw), dtype=feat.dtype, device=feat.device)
+    chunk = max(1, 32_000_000 // max(1, C * Sy * Sx))
+    for n in torch.unique(batch_idx):
+        sel_n = torch.where(batch_idx == n)[0]
+        for s in range(0, sel_n.numel(), chunk):
+            sel = sel_n[s: s + chunk]
+            k = sel.numel()
+            grid = torch.stack(
+                [gx[sel][:, None, :].expand(k, Sy, Sx),
+                 gy[sel][:, :, None].expand(k, Sy, Sx)], dim=-1
+            ).reshape(1, k * Sy, Sx, 2)
+            v = torch.nn.functional.grid_sample(
+                feat[int(n): int(n) + 1], grid, mode="bilinear",
+                padding_mode="border", align_corners=False,
+            )                                      # (1, C, k*Sy, Sx)
+            if not all_valid:
+                v = v * valid[sel].reshape(1, 1, k * Sy, Sx).to(v.dtype)
+            if gh == 1 and gw == 1:
+                p = v
+            else:
+                p = torch.nn.functional.avg_pool2d(v, (gh, gw))
+            out[sel] = p.reshape(C, k, ph, pw).transpose(0, 1)
     return out
 
 

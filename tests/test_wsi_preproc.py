@@ -360,6 +360,71 @@ def test_band_limited_stitch_matches_full_nms(rng, H, W):
     assert banded["valid"].sum() > 10  # non-trivial scene
 
 
+@pytest.mark.parametrize("fused", [False, True])
+def test_mask_row_compaction_and_row_keys(rng, fused):
+    """Device-side mask-row compaction (mask_rows=K fetches only the top-K
+    mask rows + a slot index) must be output-identical to the dense fetch
+    while the capacity holds; over capacity the LOWEST-scored rows lose
+    mask_valid.  row_keys drops non-whitelisted per-row outputs."""
+    D, M = 6, 4
+
+    def forward(fvars, tiles):
+        B = tiles.shape[0]
+        mean = tiles.mean(axis=(1, 2, 3))
+        boxes = jnp.zeros((B, D, 4))
+        boxes = boxes.at[:, 0].set(jnp.asarray([5.0, 7.0, 60.0, 50.0]))
+        boxes = boxes.at[:, 1].set(jnp.asarray([70.0, 70.0, 110.0, 100.0]))
+        scores = jnp.zeros((B, D))
+        scores = scores.at[:, 0].set(0.55 + 0.4 * mean)
+        scores = scores.at[:, 1].set(0.25 + 0.2 * mean)
+        labels = jnp.tile(1 + jnp.arange(D) % 2, (B, 1)).astype(jnp.int32)
+        valid = jnp.zeros((B, D), bool).at[:, :2].set(True)
+        masks = (0.6 + 0.4 * mean[:, None, None, None]
+                 ) * jnp.ones((B, M, 8, 8))
+        extra = jnp.ones((B, D, 3))  # stand-in for score_vector
+        return {"boxes": boxes, "scores": scores, "labels": labels,
+                "valid": valid, "masks": masks, "score_vector": extra}
+
+    fvars = {"bias": jnp.float32(0.0)}
+    slide = jnp.asarray(rng.uniform(0, 1, (300, 430, 3)).astype(np.float32))
+    kw = dict(tile=128, overlap=28, batch=4, max_total=64, fused=fused,
+              forward_vars=fvars)
+    dense = slide_inference(forward, slide, mask_rows=None, **kw)
+    comp = slide_inference(forward, slide, mask_rows=32, **kw)  # ≥ eligible
+    assert set(dense) == set(comp)
+    mv = dense["mask_valid"]
+    for k in dense:
+        if k == "masks":  # meaningful only where mask_valid; compacted
+            np.testing.assert_allclose(dense[k][mv], comp[k][mv], atol=1e-6)
+            assert not comp[k][~mv].any()  # zeroed, not garbage
+        else:
+            np.testing.assert_allclose(dense[k], comp[k], atol=1e-6,
+                                       err_msg=k)
+
+    # bit-packed masks through the compact path too
+    compb = slide_inference(forward, slide, mask_rows=32, mask_bits=True,
+                            **kw)
+    np.testing.assert_array_equal(compb["masks"][mv], dense["masks"][mv] > 0.5)
+
+    # over-capacity: only the lowest-scored mask rows lose mask_valid
+    tiny = slide_inference(forward, slide, mask_rows=4, **kw)
+    lost = dense["mask_valid"] & ~tiny["mask_valid"]
+    if lost.any():
+        assert (dense["scores"][lost].max()
+                <= dense["scores"][tiny["mask_valid"]].min() + 1e-6)
+    kept = tiny["mask_valid"]
+    np.testing.assert_allclose(tiny["masks"][kept], dense["masks"][kept],
+                               atol=1e-6)
+    assert not tiny["masks"][~kept].any()
+
+    # row_keys: whitelisted payload only; core keys always survive
+    lite = slide_inference(forward, slide, row_keys=("masks",), **kw)
+    assert "score_vector" not in lite
+    for k in ("boxes", "scores", "labels", "valid", "masks", "mask_valid"):
+        assert k in lite, k
+    np.testing.assert_allclose(lite["boxes"], dense["boxes"], atol=1e-6)
+
+
 def test_band_limit_snapped_grid_duplicate_suppressed():
     """ADVICE r4 high repro: tile=256, overlap=32, H=300 → the snapped last
     row origin is 44, so the two tiles share a 212px strip; a duplicate box

@@ -166,8 +166,14 @@ def main():
             v, tiles, train=False)[1]["det40x"])
 
         def run():
-            out = slide_inference(lambda t: fwd(variables, t), slide,
-                                  tile=S, overlap=64, batch=B, max_total=2048)
+            # fused one-dispatch program + single packed fetch + band-limited
+            # stitch NMS + mask-row compaction — the same treatment the
+            # flagship slide path got (VERDICT r4 #4: hnet was still on the
+            # streaming path with per-chunk eager dispatches)
+            out = slide_inference(fwd, slide, tile=S, overlap=64, batch=B,
+                                  max_total=2048, fused=True,
+                                  forward_vars=variables, mask_bits=True,
+                                  mask_rows=512)
             return out
 
         print("bench WSI slide_inference...", flush=True)

@@ -160,6 +160,12 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--out", default=None, help="dataset/run dir (default: tmp)")
+    p.add_argument("--device-augment", action="store_true",
+                   help="fuse the augmentation recipe into the jitted step "
+                        "(frees the 1-core host; loader serves cached tiles)")
+    p.add_argument("--val-interval-override", type=int, default=None)
+    p.add_argument("--weights", default=None,
+                   help="warm-start weights (final_vars.pkl or torch .pt)")
     opt0 = p.parse_args(argv)
 
     root = Path(opt0.out or tempfile.mkdtemp(prefix="nucls_synth_"))
@@ -169,17 +175,23 @@ def main(argv=None):
 
     from hd_yolo_tpu.engines.train import argument_parser, train
 
-    opt = argument_parser().parse_args([
+    argv_train = [
         "--data", data, "--cfg", "yolov5l6-mask", "--hyp", "hyp-nuclei",
         "--epochs", str(opt0.epochs), "--batch-size", str(opt0.batch_size),
         "--img-size", str(opt0.img_size), "--masks",
         "--workers", "8", "--max-targets", "64", "--mask-rois", "32",
         "--max-masks", "64", "--k-mosaic", "1", "--patience", "10000",
-        "--cache-images", "--val-interval", str(opt0.val_interval),
+        "--cache-images", "--val-interval",
+        str(opt0.val_interval_override or opt0.val_interval),
         "--save-interval", str(opt0.val_interval),
         "--nominal-batch-size", str(opt0.batch_size),  # no accumulation: one
         "--save-dir", str(root / "run"),               # update per step
-    ])
+    ]
+    if opt0.device_augment:
+        argv_train.append("--device-augment")
+    if opt0.weights:
+        argv_train += ["--weights", opt0.weights]
+    opt = argument_parser().parse_args(argv_train)
     result = train(opt)
     print(json.dumps({"flagship_train": {k: (float(v) if isinstance(v, (int, float)) else v)
                                          for k, v in result.items() if k != "state"}}),
