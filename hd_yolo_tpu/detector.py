@@ -121,7 +121,11 @@ class Detector:
         self,
         images: Union[Any, Sequence[Any]],
         compute_masks: bool = True,
+        task: Optional[str] = None,
     ) -> Detections:
+        """Run every header; ``task`` filters the returned records to one
+        header (REST ``?task=`` rides this — multi-task models per
+        yolo.py:62-76)."""
         single = not isinstance(images, (list, tuple))
         if single:
             images = [images]
@@ -162,6 +166,8 @@ class Detector:
                     entry["masks"] = mfull[v]
                     entry["has_mask"] = hm[v]
                 rec[t] = entry
+            if task is not None:
+                rec = {task: rec[task]}
             records.append(rec)
         return Detections(records, arrs, self.labels_text)
 

@@ -61,6 +61,13 @@ class Handler(BaseHTTPRequestHandler):
         if not (is_slide or self.path.startswith("/v1/object-detection")):
             self._send(404, {"error": "not found"})
             return
+        # optional ?task=<tag> selects a header on multi-task models
+        # (reference analog: per-task header dict, yolo.py:62-76)
+        task = None
+        if "?" in self.path:
+            from urllib.parse import parse_qs, urlparse
+
+            task = parse_qs(urlparse(self.path).query).get("task", [None])[0]
         length = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(length)
         ctype = self.headers.get("Content-Type", "")
@@ -79,9 +86,10 @@ class Handler(BaseHTTPRequestHandler):
             return
         if is_slide:
             # tiled whole-slide inference, records in slide coordinates
-            results = _detector.slide(img, mask_uint8=True)
+            results = _detector.slide(img, mask_uint8=True, **(
+                {"task": task} if task else {}))
         else:
-            results = _detector(img)
+            results = _detector(img, **({"task": task} if task else {}))
         self._send(200, results.to_records())
 
     def log_message(self, fmt, *args):  # route to our logger

@@ -44,6 +44,9 @@ def main():
                     help="mask-branch occupancy budget (0 = legacy B x 100)")
     ap.add_argument("--no-band", dest="band", action="store_false",
                     help="disable band-limited stitch NMS (full quadratic)")
+    ap.add_argument("--mask-rows", type=int, default=1024,
+                    help="device-side mask-row compaction capacity (fetch "
+                         "only the top-K mask rows; 0 = dense fetch)")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -84,6 +87,7 @@ def main():
         kw = dict(tile=args.tile, overlap=args.overlap, batch=args.batch,
                   mask_uint8=args.mask_uint8, mask_bits=args.mask_bits,
                   fused=args.fused, band_limit=args.band,
+                  mask_rows=args.mask_rows or None,
                   forward_vars=variables if args.fused else None)
         out = slide_inference(forward, slide_j, **kw)  # compile
         best = np.inf

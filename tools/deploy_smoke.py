@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--weights", default=None)
     ap.add_argument("--cfg", default="yolov5s-test")
     ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--tasks", default="",
+                    help="comma-separated header tags to smoke per-task REST "
+                         "rows for (multi-task models; empty = default task)")
     ap.add_argument("--out", default="DEPLOY_SMOKE.json")
     args = ap.parse_args()
 
@@ -89,14 +92,19 @@ def main():
             f'name="image"; filename="tile.png"\r\n'
             f"Content-Type: image/png\r\n\r\n").encode() + png.tobytes() + \
         f"\r\n--{boundary}--\r\n".encode()
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/v1/object-detection", data=body,
-        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
-    # first request compiles; second is steady state
-    urllib.request.urlopen(req, timeout=600).read()
-    t0 = time.time()
-    resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
-    results["rest_latency_s"] = round(time.time() - t0, 3)
+    def post_tile(task=None):
+        q = f"?task={task}" if task else ""
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/object-detection{q}", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        # first request compiles; second is steady state
+        urllib.request.urlopen(req, timeout=1500).read()
+        t0 = time.time()
+        resp = json.loads(urllib.request.urlopen(req, timeout=1500).read())
+        return resp, round(time.time() - t0, 3)
+
+    resp, results["rest_latency_s"] = post_tile()
     rows = resp if isinstance(resp, list) else resp.get("predictions", resp)
     results["rest_n_rows"] = len(rows)
     if rows:
@@ -104,6 +112,13 @@ def main():
         assert {"xmin", "ymin", "xmax", "ymax", "confidence",
                 "class"} <= set(row) or {"boxes", "scores"} <= set(row), row
         results["rest_row_keys"] = sorted(rows[0])
+    for task in [t for t in args.tasks.split(",") if t]:
+        tresp, lat = post_tile(task)
+        trows = tresp if isinstance(tresp, list) else tresp.get(
+            "predictions", tresp)
+        assert all(r.get("task") == task for r in trows), (task, trows[:1])
+        results[f"rest_rows_{task}"] = len(trows)
+        results[f"rest_latency_{task}_s"] = lat
     print(json.dumps({k: results[k] for k in results if k.startswith("rest")}),
           flush=True)
 
@@ -132,9 +147,9 @@ def main():
     sreq = urllib.request.Request(
         f"http://127.0.0.1:{port}/v1/slide", data=sbody,
         headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
-    urllib.request.urlopen(sreq, timeout=900).read()   # compile
+    urllib.request.urlopen(sreq, timeout=1800).read()   # compile
     t0 = time.time()
-    sresp = json.loads(urllib.request.urlopen(sreq, timeout=900).read())
+    sresp = json.loads(urllib.request.urlopen(sreq, timeout=1800).read())
     results["slide_latency_s"] = round(time.time() - t0, 3)
     srows = sresp if isinstance(sresp, list) else sresp.get("predictions", sresp)
     results["slide_px"] = slide_px

@@ -34,7 +34,8 @@ from flagship_train_check import render_tile  # noqa: E402
 MAX_T = 64  # GT capacity per tile
 
 
-def build_split(seed: int, n_images: int, img_size: int, nuclei: int):
+def build_split(seed: int, n_images: int, img_size: int, nuclei: int,
+                seg_stride: int = 16):
     """Render tiles → (images uint8, det/seg/cl target arrays)."""
     import cv2
 
@@ -44,7 +45,8 @@ def build_split(seed: int, n_images: int, img_size: int, nuclei: int):
     labels = np.zeros((n_images, MAX_T), np.int32)
     valid = np.zeros((n_images, MAX_T), bool)
     masks = np.zeros((n_images, MAX_T, 28, 28), np.float32)
-    seg = np.zeros((n_images, img_size // 16, img_size // 16), np.int32)
+    seg = np.zeros((n_images, img_size // seg_stride,
+                    img_size // seg_stride), np.int32)
     cl = np.zeros((n_images,), np.int32)
     for i in range(n_images):
         # per-tile dominant class (60% of draws) so the cl5x tile label is
@@ -71,7 +73,8 @@ def build_split(seed: int, n_images: int, img_size: int, nuclei: int):
                 masks[i, j] = (cv2.resize(
                     crop.astype(np.float32), (28, 28),
                     interpolation=cv2.INTER_LINEAR) > 0.5)
-        seg[i] = tissue[8::16, 8::16]  # stride-16 GT (shipped joint recipe)
+        seg[i] = tissue[seg_stride // 2::seg_stride,
+                        seg_stride // 2::seg_stride]
         counts = np.bincount([l for l in lbs], minlength=5)
         cl[i] = min(int(np.argmax(counts[1:])), 2)
     targets = {
@@ -91,7 +94,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=80)
     ap.add_argument("--n-train", type=int, default=48)
-    ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument("--n-val", type=int, default=64)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--nuclei", type=int, default=40)
@@ -101,6 +104,16 @@ def main(argv=None):
                     help="override det40x num_detections/proposals capacity "
                          "(0 = config value; r3 traded 300->100 for +53% "
                          "throughput)")
+    ap.add_argument("--cl-weight", type=float, default=0.0,
+                    help="cl5x loss_weight override (0 = config value)")
+    ap.add_argument("--seg-weight", type=float, default=0.0,
+                    help="seg10x loss_weight override (0 = config value)")
+    ap.add_argument("--seg-scale", type=int, default=0,
+                    help="seg10x scale_factor override (0 = config value; "
+                         "4 = stride-4 loss like the single-task ceiling)")
+    ap.add_argument("--seg-gt-stride", type=int, default=16,
+                    help="GT seg-map stride (4 matches the single-task "
+                         "ceiling measurement, PANOPTIC_CEILING.json)")
     args = ap.parse_args(argv)
 
     import jax
@@ -114,8 +127,10 @@ def main(argv=None):
     from hd_yolo_tpu.engines.val import summarize_stats
 
     # disjoint seeds → disjoint tiles (generator is purely seed-driven)
-    tr_imgs, tr_t = build_split(0, args.n_train, args.img, args.nuclei)
-    va_imgs, va_t = build_split(1, args.n_val, args.img, args.nuclei)
+    tr_imgs, tr_t = build_split(0, args.n_train, args.img, args.nuclei,
+                                args.seg_gt_stride)
+    va_imgs, va_t = build_split(1, args.n_val, args.img, args.nuclei,
+                                args.seg_gt_stride)
 
     cfg = load_cfg("hnet-nucls")
     if args.num_detections:
@@ -123,6 +138,12 @@ def main(argv=None):
         cfg["headers"]["det40x"]["num_proposals"] = max(
             args.num_detections * 2, cfg["headers"]["det40x"].get(
                 "num_proposals", 512))
+    if args.cl_weight:
+        cfg["headers"]["cl5x"]["loss_weight"] = args.cl_weight
+    if args.seg_weight:
+        cfg["headers"]["seg10x"]["loss_weight"] = args.seg_weight
+    if args.seg_scale:
+        cfg["headers"]["seg10x"]["scale_factor"] = args.seg_scale
     model = HNet.from_cfg(cfg, dtype=jnp.bfloat16)
     k0 = jax.random.PRNGKey(0)
     B = args.batch
@@ -206,7 +227,12 @@ def main(argv=None):
     res = {
         "config": {"epochs": args.epochs, "n_train": args.n_train,
                    "n_val": args.n_val, "batch": B, "img": args.img,
-                   "params": int(n_params)},
+                   "params": int(n_params),
+                   "num_detections": args.num_detections or "cfg",
+                   "cl_weight": args.cl_weight or "cfg",
+                   "seg_weight": args.seg_weight or "cfg",
+                   "seg_scale": args.seg_scale or "cfg",
+                   "seg_gt_stride": args.seg_gt_stride},
         "train_wall_s": round(train_s, 1),
         "det_map50": round(float(det["map50"]), 4),
         "det_map": round(float(det["map"]), 4),

@@ -162,10 +162,17 @@ def gen(args):
         {"train": str(ours / "index_train.csv"),
          "val": str(ours / "index_val.csv"),
          "tasks": ["det"], "meta_info": meta_info}))
+    # -100/0 entries: val_nuclei's overlay plotting indexes labels_text with
+    # the raw label and the reference emits -100 for "unclassified"
+    # (yolo_head.py:336-354) — without these keys the train loop CRASHES in
+    # overlay_detections (image_utils.py:883 KeyError, hit at ~epoch 45)
     ref_meta = {"det": {
-        "labels_text": {i: g for i, g in GROUPS.items()},
-        "labels_color": {i: c for i, c in zip(
-            GROUPS, ([0, 255, 0], [255, 0, 0], [0, 0, 255], [255, 255, 0]))},
+        "labels_text": {-100: "unlabeled", 0: "unlabeled",
+                        **{i: g for i, g in GROUPS.items()}},
+        "labels_color": {-100: [128, 128, 128], 0: [128, 128, 128],
+                         **{i: c for i, c in zip(
+                             GROUPS, ([0, 255, 0], [255, 0, 0],
+                                      [0, 0, 255], [255, 255, 0]))}},
     }}
     with open(meta_d / "meta.yaml", "w") as f:
         yaml.safe_dump(ref_meta, f)
@@ -218,7 +225,8 @@ def ref_train(args):
         cfg=str(root / "ref_model.yaml"),
         hyp=str(Path(__file__).resolve().parent.parent /
                 "hd_yolo_tpu/configs/hyp-nuclei.yaml"),
-        weights="", epochs=args.epochs, batch_size=args.batch_size,
+        weights=args.weights or "",
+        epochs=args.epochs, batch_size=args.batch_size,
         imgsz=args.imgsz, patch_size=args.imgsz, keep_res=-1,
         masks=True, rect=False, resume=False, restart=False, nosave=False,
         noval=args.noval, noautoanchor=True, evolve=False, bucket="",
@@ -492,7 +500,12 @@ def main():
                     help="ours-train output dir name (equal-wall-clock legs "
                          "use a second run)")
     ap.add_argument("--noval", action="store_true",
-                    help="reference leg: val only on the final epoch")
+                    help="reference leg: val only on the final epoch "
+                         "(BROKEN upstream: train.py:526 UnboundLocalError "
+                         "'fi' on non-final epochs — keep per-epoch val)")
+    ap.add_argument("--weights", default="",
+                    help="ref-train warm start / crash resume (e.g. "
+                         "ref_runs/exp/weights/last.pt)")
     args = ap.parse_args()
     {"gen": gen, "ref-train": ref_train, "ours-train": ours_train,
      "evaluate": evaluate}[args.phase](args)
